@@ -1,0 +1,221 @@
+"""Host-side batch samplers (ref: model.py:252-339, 384-428; DataHandler.py:28-41).
+
+The reference's per-batch Python loops are its host hot path (SURVEY.md §3.2).
+This module keeps the exact sampling SEMANTICS but emits fixed-shape padded
+arrays (+ masks) so the device executable never recompiles:
+
+  * Train (ref sampleTrainBatch): per user, target = sequence[-choose] with
+    choose ~ randint(1, max(min(pred_num+1, len(posset)-3), 1)), repeated
+    sampNum=min(40, len(posset)) times; negatives rejection-sampled uniformly
+    over items, excluding the user's train row, the last sequence item and
+    the test item (negSamp, DataHandler.py:28-41). Users with an empty
+    posset contribute no pairs (the reference's `range(sampNum)` over
+    sampNum=0 — dead branch in model.py:269-272).
+  * SSL (ref sampleSslBatch): per interval and user, sslNum =
+    min(ssl_num, |row|//2) pairs of random interacted items drawn WITH
+    replacement; the reference interleaves entries then pairs element j with
+    element j+len/2 in the loss (model.py:186-196) — we perform that split
+    here so the device gets aligned (A, B) halves.
+  * Test (ref sampleTestBatch): candidates = testSize-1 precomputed
+    1-indexed negatives (minus 1) + the positive appended LAST.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from sagnn_tpu.data.io import DatasetBundle
+from sagnn_tpu.models.selfgnn import TrainBatch
+
+
+def _fill_sequence(row_items: List[int], pos_length: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Right-aligned, zero-padded sequence + mask (model.py:286-294)."""
+    seq = np.zeros(pos_length, dtype=np.int32)
+    mask = np.zeros(pos_length, dtype=np.float32)
+    n = len(row_items)
+    if n == 0:
+        return seq, mask
+    if n <= pos_length:
+        seq[-n:] = row_items
+        mask[-n:] = 1.0
+    else:
+        seq[:] = row_items[-pos_length:]
+        mask[:] = 1.0
+    return seq, mask
+
+
+def neg_sample(rng: np.random.Generator, label_row: np.ndarray,
+               samp_size: int, num_items: int,
+               excluded: Tuple) -> np.ndarray:
+    """Uniform rejection sampling (DataHandler.py:28-41): reject items the
+    user interacted with (label_row != 0) and items in `excluded`."""
+    out = np.empty(samp_size, dtype=np.int32)
+    cur = 0
+    while cur < samp_size:
+        n_draw = max(8, 2 * (samp_size - cur))
+        cands = rng.integers(0, num_items, size=n_draw)
+        ok = label_row[cands] == 0
+        for ex in excluded:
+            if ex is not None:
+                ok &= cands != ex
+        good = cands[ok]
+        take = min(len(good), samp_size - cur)
+        out[cur:cur + take] = good[:take]
+        cur += take
+    return out
+
+
+@dataclass
+class Sampler:
+    """Stateful host sampler over one DatasetBundle."""
+
+    bundle: DatasetBundle
+    batch: int
+    samp_num: int
+    ssl_num: int
+    pred_num: int
+    pos_length: int
+    test_size: int
+    seed: int = 100
+
+    def __post_init__(self):
+        self.rng = np.random.default_rng(self.seed)
+        b = self.bundle
+        self._trn_csr = b.trn_mat.tocsr()
+        self._sub_csrs = [m.tocsr() for m in b.sub_mats]
+        # Pre-extract per-user interval rows (nonzero columns) once; the
+        # reference re-densifies rows every batch (model.py:307).
+        self._interval_rows = [
+            [m.indices[m.indptr[u]:m.indptr[u + 1]]
+             for u in range(b.num_users)]
+            for m in self._sub_csrs
+        ]
+
+    # -- train ------------------------------------------------------------
+
+    def epoch_user_ids(self, trn_num: int) -> np.ndarray:
+        """np.random.permutation(num_users)[:trnNum] (model.py:343)."""
+        return self.rng.permutation(self.bundle.num_users)[:trn_num]
+
+    def train_batch(self, bat_ids: np.ndarray) -> TrainBatch:
+        b = self.bundle
+        B, P = self.batch, self.batch * self.samp_num
+        uids = np.zeros(P, dtype=np.int32)
+        pos_iids = np.zeros(P, dtype=np.int32)
+        neg_iids = np.zeros(P, dtype=np.int32)
+        useq_row = np.zeros(P, dtype=np.int32)
+        pair_mask = np.zeros(P, dtype=np.float32)
+        seq = np.zeros((B, self.pos_length), dtype=np.int32)
+        seq_mask = np.zeros((B, self.pos_length), dtype=np.float32)
+
+        label_rows = self._trn_csr[bat_ids].toarray()
+        cur = 0
+        for i, u in enumerate(bat_ids):
+            full_seq = b.sequences[u]
+            posset = full_seq[:-1]
+            samp = min(self.samp_num, len(posset))
+            choose = 1
+            if samp > 0:
+                hi = max(min(self.pred_num + 1, len(posset) - 3), 1)
+                choose = int(self.rng.integers(1, hi + 1))  # randint incl.
+                pos = posset[-choose]
+                negs = neg_sample(self.rng, label_rows[i], samp,
+                                  b.num_items,
+                                  (full_seq[-1], b.tst_int[u]))
+                uids[cur:cur + samp] = u
+                useq_row[cur:cur + samp] = i
+                pos_iids[cur:cur + samp] = pos
+                neg_iids[cur:cur + samp] = negs
+                pair_mask[cur:cur + samp] = 1.0
+                cur += samp
+            seq[i], seq_mask[i] = _fill_sequence(posset[:-choose] if choose
+                                                 else posset, self.pos_length)
+        ssl = self.ssl_batch(bat_ids)
+        return TrainBatch(uids=uids, pos_iids=pos_iids, neg_iids=neg_iids,
+                          useq_row=useq_row, pair_mask=pair_mask, seq=seq,
+                          seq_mask=seq_mask, **ssl)
+
+    # -- ssl ---------------------------------------------------------------
+
+    def ssl_batch(self, bat_ids: np.ndarray) -> dict:
+        b = self.bundle
+        g = b.graph_num
+        Pssl = self.batch * self.ssl_num
+        u_a = np.zeros((g, Pssl), dtype=np.int32)
+        i_a = np.zeros((g, Pssl), dtype=np.int32)
+        u_b = np.zeros((g, Pssl), dtype=np.int32)
+        i_b = np.zeros((g, Pssl), dtype=np.int32)
+        mask = np.zeros((g, Pssl), dtype=np.float32)
+
+        for k in range(g):
+            # reference interleaved layout: (u,pos_j) at even, (u,neg_j) at
+            # odd slots, trimmed to cur, then halved at cur//2. Entry t of
+            # the flat layout = pair (t//2, parity); we build the flat list
+            # then split, matching model.py:328-338 + 186-196 exactly.
+            flat_u, flat_i = self._ssl_flat(k, bat_ids)
+            half = len(flat_u) // 2
+            n = half  # pairs
+            u_a[k, :n] = flat_u[:half]
+            i_a[k, :n] = flat_i[:half]
+            u_b[k, :n] = flat_u[half:half * 2]
+            i_b[k, :n] = flat_i[half:half * 2]
+            mask[k, :n] = 1.0
+        return {"ssl_u_a": u_a, "ssl_i_a": i_a, "ssl_u_b": u_b,
+                "ssl_i_b": i_b, "ssl_mask": mask}
+
+    def _ssl_flat(self, k: int, bat_ids: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        rows = self._interval_rows[k]
+        us: List[np.ndarray] = []
+        its: List[np.ndarray] = []
+        for u in bat_ids:
+            posset = rows[u]
+            ssl_n = min(self.ssl_num, len(posset) // 2)
+            if ssl_n == 0:
+                continue
+            draws = self.rng.choice(posset, ssl_n * 2)  # with replacement
+            pos, neg = draws[:ssl_n], draws[ssl_n:]
+            inter = np.empty(ssl_n * 2, dtype=np.int32)
+            inter[0::2] = pos
+            inter[1::2] = neg
+            its.append(inter)
+            us.append(np.full(ssl_n * 2, u, dtype=np.int32))
+        if not us:
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+        return np.concatenate(us), np.concatenate(its)
+
+    # -- test ---------------------------------------------------------------
+
+    def test_batch(self, bat_ids: np.ndarray, test_mode: bool = True):
+        """Returns (user_ids [B], cand_iids [B, C], pos_items [B],
+        seq [B, L], seq_mask [B, L], valid [B]) — positives appended LAST in
+        the candidate axis (model.py:403-404)."""
+        b = self.bundle
+        B = self.batch
+        C = self.test_size
+        user_ids = np.zeros(B, dtype=np.int32)
+        cand = np.zeros((B, C), dtype=np.int32)
+        pos_items = np.zeros(B, dtype=np.int32)
+        seq = np.zeros((B, self.pos_length), dtype=np.int32)
+        seq_mask = np.zeros((B, self.pos_length), dtype=np.float32)
+        valid = np.zeros(B, dtype=np.float32)
+
+        for i, u in enumerate(bat_ids):
+            if test_mode:
+                pos = b.tst_int[u]
+                posset = b.sequences[u]
+            else:
+                pos = b.sequences[u][-1]
+                posset = b.sequences[u][:-1]
+            negs = np.array(b.test_dict[u + 1][:C - 1]) - 1  # 1-indexed (Q8)
+            cand[i] = np.concatenate([negs, [pos]])
+            user_ids[i] = u
+            pos_items[i] = pos
+            seq[i], seq_mask[i] = _fill_sequence(posset, self.pos_length)
+            valid[i] = 1.0
+        return user_ids, cand, pos_items, seq, seq_mask, valid

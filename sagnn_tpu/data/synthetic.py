@@ -1,0 +1,163 @@
+"""Synthetic temporal bipartite datasets.
+
+Two generators:
+  * `synthetic_dataset` — a small end-to-end-trainable dataset in the exact
+    shape of the reference's pickles (for tests and CI).
+  * `synthetic_edges` — a raw edge-stream generator that scales to the
+    100M-edge benchmark config (BASELINE.json "Synthetic 100M-edge temporal
+    bipartite graph") without materializing python lists.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import scipy.sparse as sp
+
+from sagnn_tpu.data.graph import build_user_item_csr
+from sagnn_tpu.data.io import DatasetBundle
+
+
+def _zipf_item_probs(num_items: int, alpha: float, rng: np.random.Generator):
+    ranks = np.arange(1, num_items + 1, dtype=np.float64)
+    p = ranks ** (-alpha)
+    rng.shuffle(p)
+    return p / p.sum()
+
+
+def synthetic_dataset(
+    num_users: int = 64,
+    num_items: int = 128,
+    graph_num: int = 3,
+    seq_len_range: tuple[int, int] = (6, 30),
+    test_size: int = 20,
+    alpha: float = 1.05,
+    seed: int = 0,
+) -> DatasetBundle:
+    """Generate a DatasetBundle with the reference's data invariants:
+
+    - per-user time-ordered sequences (last item = test target,
+      leave-one-out as in preprocess_to_trnmat.ipynb cells 3-4)
+    - interval matrices cover TRAIN interactions split into `graph_num`
+      equal time spans
+    - `test_dict` holds `test_size - 1` negatives, 1-indexed (SURVEY.md Q8)
+    """
+    rng = np.random.default_rng(seed)
+    probs = _zipf_item_probs(num_items, alpha, rng)
+
+    sequences: List[List[int]] = []
+    times: List[np.ndarray] = []
+    for _ in range(num_users):
+        n = int(rng.integers(seq_len_range[0], seq_len_range[1] + 1))
+        items = rng.choice(num_items, size=n, replace=False, p=probs)
+        t = np.sort(rng.integers(0, 10_000, size=n))
+        sequences.append(items.tolist())
+        times.append(t)
+
+    tst_int = np.empty(num_users, dtype=object)
+    test_dict = {}
+    train_seqs: List[List[int]] = []
+    rows, cols, vals = [], [], []
+    t_min = min(int(t[0]) for t in times)
+    t_max = max(int(t[-1]) for t in times)
+    span = max(1, t_max - t_min + 1)
+
+    for u, (items, t) in enumerate(zip(sequences, times)):
+        tst_int[u] = items[-1]
+        train_items, train_t = items[:-1], t[:-1]
+        train_seqs.append(list(train_items))
+        rows.extend([u] * len(train_items))
+        cols.extend(train_items)
+        vals.extend(train_t.tolist())
+        # negatives exclude the user's full history
+        seen = set(items)
+        negs = []
+        while len(negs) < test_size - 1:
+            cand = int(rng.choice(num_items, p=probs))
+            if cand not in seen:
+                negs.append(cand + 1)  # 1-indexed, like the reference pickle
+        test_dict[u + 1] = negs
+
+    full = sp.csr_matrix(
+        (np.array(vals, dtype=np.int64) + 1,
+         (np.array(rows), np.array(cols))),
+        shape=(num_users, num_items))
+
+    sub_mats = []
+    rows_a = np.array(rows)
+    cols_a = np.array(cols)
+    vals_a = np.array(vals, dtype=np.int64)
+    for k in range(graph_num):
+        lo = t_min + k * span // graph_num
+        hi = t_min + (k + 1) * span // graph_num
+        m = (vals_a >= lo) & (vals_a < hi)
+        sub = sp.csr_matrix(
+            (vals_a[m] + 1, (rows_a[m], cols_a[m])),
+            shape=(num_users, num_items))
+        sub_mats.append(sub)
+
+    # NOTE: sequences in the bundle are the TRAIN sequences; the reference's
+    # `sequence` pickle holds training interactions only (test item held out,
+    # preprocess_to_sequence.ipynb cells 3-7) and tstInt holds the target.
+    trn_mat = build_user_item_csr(train_seqs, num_users, num_items)
+    return DatasetBundle(
+        num_users=num_users,
+        num_items=num_items,
+        trn_mat=trn_mat,
+        sub_mats=sub_mats,
+        time_mat=full.copy(),
+        sequences=train_seqs,
+        tst_int=tst_int,
+        test_dict=test_dict,
+    )
+
+
+def synthetic_edges(
+    num_edges: int,
+    num_users: int,
+    num_items: int,
+    graph_num: int,
+    alpha: float = 1.05,
+    seed: int = 0,
+    chunk: int = 4_000_000,
+):
+    """Stream (user, item, interval) COO chunks for huge benchmark graphs.
+
+    Yields (rows, cols, interval_ids) int32 chunks; callers accumulate into
+    per-interval CSRs or directly into padded edge blocks. User and item
+    popularity are both zipf-ish so degree skew resembles real datasets.
+    """
+    rng = np.random.default_rng(seed)
+    u_probs = _zipf_item_probs(num_users, alpha * 0.7, rng)
+    i_probs = _zipf_item_probs(num_items, alpha, rng)
+    remaining = num_edges
+    while remaining > 0:
+        n = min(chunk, remaining)
+        rows = rng.choice(num_users, size=n, p=u_probs).astype(np.int32)
+        cols = rng.choice(num_items, size=n, p=i_probs).astype(np.int32)
+        ks = rng.integers(0, graph_num, size=n).astype(np.int32)
+        yield rows, cols, ks
+        remaining -= n
+
+
+def synthetic_interval_mats(num_edges: int, num_users: int, num_items: int,
+                            graph_num: int, seed: int = 0):
+    """Materialize interval CSRs from `synthetic_edges` (dedup per interval)."""
+    per_k_rows = [[] for _ in range(graph_num)]
+    per_k_cols = [[] for _ in range(graph_num)]
+    for rows, cols, ks in synthetic_edges(num_edges, num_users, num_items,
+                                          graph_num, seed=seed):
+        for k in range(graph_num):
+            m = ks == k
+            per_k_rows[k].append(rows[m])
+            per_k_cols[k].append(cols[m])
+    mats = []
+    for k in range(graph_num):
+        r = np.concatenate(per_k_rows[k])
+        c = np.concatenate(per_k_cols[k])
+        m = sp.csr_matrix((np.ones(len(r), dtype=np.int8), (r, c)),
+                          shape=(num_users, num_items))
+        m.data[:] = 1  # dedup duplicates to binary
+        mats.append(m)
+    return mats

@@ -1,0 +1,362 @@
+"""SelfGNN: the full model as pure init/apply functions.
+
+Re-design of the reference forward graph (model.py:104-205 `Recommender.ours`)
+for TPU/XLA: one jitted function, static shapes everywhere, `lax.scan` over
+the interval axis, padded edge blocks for propagation, masked padded batches
+for the ragged sampled ids.
+
+Parameter registry split (determines the L2 regularizer, ref
+NNLayers.Regularize over regParams):
+  params["reg"]   — u_embed, i_embed, pos_embed, time_embed, time_fc (the
+                    per-propagation throwaway FC weights, SURVEY.md Q6),
+                    meta2_w, meta3_w — exactly the reference's regParams set.
+  params["free"]  — LSTM, the MHSA dense kernels/biases (built with
+                    tf.layers.dense → never registered), all layer norms,
+                    meta biases.
+
+Behavioral quirks replicated (SURVEY.md §7.0): Q1/Q2 unweighted propagation
+(no edge dropout, no normalization), Q3 pooled sequence branch, Q4 shared
+user/item LSTM, Q5 exp-attention, Q6 throwaway FC weights feeding only the
+regularizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sagnn_tpu.config import ModelConfig
+from sagnn_tpu.models.layers import tf_glorot_uniform, leaky_relu, l2_sum
+from sagnn_tpu.ops.attention import (
+    init_layer_norm_params, init_mhsa_params, layer_norm,
+    multi_head_self_attention,
+)
+from sagnn_tpu.ops.lstm import init_lstm_params, lstm_scan
+from sagnn_tpu.ops.segment import propagate
+
+
+# ---------------------------------------------------------------------------
+# Batch containers (all fixed-shape, mask-padded)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainBatch:
+    """One training step's host-sampled inputs (ref model.py:252-339).
+
+    P = batch * samp_num BPR pairs; Pssl = batch * ssl_num SSL pairs.
+    The reference's ragged feeds become padded arrays + masks.
+    """
+
+    uids: jnp.ndarray        # [P] user id per BPR pair
+    pos_iids: jnp.ndarray    # [P] positive item
+    neg_iids: jnp.ndarray    # [P] negative item
+    useq_row: jnp.ndarray    # [P] row into seq/seq_mask for this pair's user
+    pair_mask: jnp.ndarray   # [P] 1.0 for real pairs
+    seq: jnp.ndarray         # [B, L] right-aligned item sequence (pad 0)
+    seq_mask: jnp.ndarray    # [B, L]
+    # SSL pairs, reference layout split in half (see sampler): the reference
+    # interleaves entries then pairs element j with element j + len/2
+    # (model.py:186-202); the sampler performs that split on the host so the
+    # device sees aligned (A, B) pairs.
+    ssl_u_a: jnp.ndarray     # [g, Pssl]
+    ssl_i_a: jnp.ndarray     # [g, Pssl]
+    ssl_u_b: jnp.ndarray     # [g, Pssl]
+    ssl_i_b: jnp.ndarray     # [g, Pssl]
+    ssl_mask: jnp.ndarray    # [g, Pssl]
+
+
+jax.tree_util.register_pytree_node(
+    TrainBatch,
+    lambda b: ((b.uids, b.pos_iids, b.neg_iids, b.useq_row, b.pair_mask,
+                b.seq, b.seq_mask, b.ssl_u_a, b.ssl_i_a, b.ssl_u_b,
+                b.ssl_i_b, b.ssl_mask), None),
+    lambda _, c: TrainBatch(*c),
+)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ModelConfig, num_users: int,
+                num_items: int, max_time: int = 1) -> Dict:
+    ks = iter(jax.random.split(key, 64))
+    g, D = cfg.graph_num, cfg.latdim
+    n_prop = g * cfg.gnn_layer * 2  # one throwaway FC per messagePropagate call
+
+    reg = {
+        # model.py:108-117
+        "u_embed": tf_glorot_uniform(next(ks), (g, num_users, D)),
+        "i_embed": tf_glorot_uniform(next(ks), (g, num_items, D)),
+        "pos_embed": tf_glorot_uniform(next(ks), (cfg.pos_length, D)),
+        "time_embed": tf_glorot_uniform(next(ks), (max_time + 1, D)),
+        # Q6: FC(self.timeEmbed, latdim) weight created per propagate call
+        # (model.py:81); output unused, weight only feeds the L2 term.
+        "time_fc": tf_glorot_uniform(next(ks), (n_prop, D, D)),
+        # meta network weights (model.py:180-182, FC reg=True)
+        "meta2_w": tf_glorot_uniform(next(ks), (3 * D, cfg.ssldim)),
+        "meta3_w": tf_glorot_uniform(next(ks), (cfg.ssldim, 1)),
+    }
+    free = {
+        "lstm": init_lstm_params(next(ks), D),  # shared user/item cell (Q4)
+        "mhsa_user": init_mhsa_params(next(ks), D),
+        "mhsa_item": init_mhsa_params(next(ks), D),
+        "ln_user": init_layer_norm_params(D),
+        "ln_item": init_layer_norm_params(D),
+        "seq_ln_item": init_layer_norm_params(D),
+        "seq_ln_pos": init_layer_norm_params(D),
+        "seq_mhsa": [init_mhsa_params(next(ks), D)
+                     for _ in range(cfg.att_layer)],
+        "seq_ln": [init_layer_norm_params(D) for _ in range(cfg.att_layer)],
+        "meta2_b": jnp.zeros((cfg.ssldim,)),
+        "meta3_b": jnp.zeros((1,)),
+    }
+    return {"reg": reg, "free": free}
+
+
+def reg_loss(params: Dict) -> jax.Array:
+    """args.reg * this = the weight-decay part of regLoss (model.py:245)."""
+    return l2_sum(params["reg"])
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
+                          cfg: ModelConfig, num_users: int, num_items: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LightGCN-style propagation per interval (model.py:118-129).
+
+    Returns user_vec [g, U, D], item_vec [g, I, D] — the layer-summed
+    per-interval node states. Implemented as a lax.scan over the interval
+    axis so HLO size is independent of graph_num.
+    """
+    leaky = cfg.leaky
+
+    def one_interval(_, inp):
+        u0, i0, u_src, u_tgt, i_src, i_tgt = inp
+        embs0 = [u0]
+        embs1 = [i0]
+        for _l in range(cfg.gnn_layer):
+            a0 = propagate(embs1[-1], u_src, u_tgt, num_users, leaky)
+            a1 = propagate(embs0[-1], i_src, i_tgt, num_items, leaky)
+            embs0.append(a0 + embs0[-1])
+            embs1.append(a1 + embs1[-1])
+        user = sum(embs0[1:], embs0[0])  # tf.add_n over all layers
+        item = sum(embs1[1:], embs1[0])
+        return None, (user, item)
+
+    _, (user_vec, item_vec) = jax.lax.scan(
+        one_interval, None,
+        (params["reg"]["u_embed"], params["reg"]["i_embed"],
+         graphs["u_src"], graphs["u_tgt"], graphs["i_src"], graphs["i_tgt"]))
+    return user_vec, item_vec
+
+
+def _temporal_fusion(params: Dict, user_vec: jnp.ndarray,
+                     item_vec: jnp.ndarray, cfg: ModelConfig, train: bool,
+                     rng: Optional[jax.Array]
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared LSTM + interval MHSA + mean (model.py:131-155).
+
+    Returns final_user [U, D], final_item [I, D].
+    """
+    free = params["free"]
+    user_t = jnp.transpose(user_vec, (1, 0, 2))  # [U, g, D]
+    item_t = jnp.transpose(item_vec, (1, 0, 2))  # [I, g, D]
+
+    if train and rng is not None and cfg.keep_rate < 1.0:
+        ku, ki = jax.random.split(rng)
+    else:
+        ku = ki = None
+    user_t = lstm_scan(free["lstm"], user_t, keep_rate=cfg.keep_rate,
+                       dropout_key=ku)
+    item_t = lstm_scan(free["lstm"], item_t, keep_rate=cfg.keep_rate,
+                       dropout_key=ki)
+
+    mu = multi_head_self_attention(
+        free["mhsa_user"],
+        layer_norm(user_t, free["ln_user"]["scale"], free["ln_user"]["shift"]),
+        cfg.num_heads, stable=cfg.stable_softmax)
+    mi = multi_head_self_attention(
+        free["mhsa_item"],
+        layer_norm(item_t, free["ln_item"]["scale"], free["ln_item"]["shift"]),
+        cfg.num_heads, stable=cfg.stable_softmax)
+    return jnp.mean(mu, axis=1), jnp.mean(mi, axis=1)
+
+
+def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
+                     seq: jnp.ndarray, seq_mask: jnp.ndarray,
+                     cfg: ModelConfig) -> jnp.ndarray:
+    """Pooled sequence branch (model.py:158-167, quirk Q3).
+
+    The mask-matmul collapses the sequence to ONE token [B, 1, D] before the
+    attention stack; replicated exactly for parity. Returns att_user [B, D].
+    """
+    free = params["free"]
+    seq_emb = jnp.take(item_att_emb, seq, axis=0)          # [B, L, D]
+    pooled_items = jnp.einsum("bl,bld->bd", seq_mask, seq_emb)[:, None, :]
+    pooled_pos = jnp.einsum(
+        "bl,ld->bd", seq_mask, params["reg"]["pos_embed"])[:, None, :]
+
+    x = layer_norm(pooled_items, free["seq_ln_item"]["scale"],
+                   free["seq_ln_item"]["shift"])
+    x = x + layer_norm(pooled_pos, free["seq_ln_pos"]["scale"],
+                       free["seq_ln_pos"]["shift"])
+    for i in range(cfg.att_layer):
+        ln = free["seq_ln"][i]
+        h = multi_head_self_attention(
+            free["seq_mhsa"][i],
+            layer_norm(x, ln["scale"], ln["shift"]),
+            cfg.num_heads, stable=cfg.stable_softmax)
+        x = leaky_relu(h, cfg.leaky) + x  # model.py:166
+    return jnp.sum(x, axis=1)  # [B, D] (model.py:167)
+
+
+def _user_weights(params: Dict, final_user: jnp.ndarray,
+                  user_vec: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Meta-network per-user SSL weights, [g, U] (model.py:176-184)."""
+    reg, free = params["reg"], params["free"]
+
+    def per_graph(uv_k):
+        meta1 = jnp.concatenate(
+            [final_user * uv_k, final_user, uv_k], axis=-1)   # [U, 3D]
+        meta2 = leaky_relu(meta1 @ reg["meta2_w"] + free["meta2_b"],
+                           cfg.leaky)
+        w = jax.nn.sigmoid(meta2 @ reg["meta3_w"] + free["meta3_b"])
+        return jnp.squeeze(w, -1)                             # [U]
+
+    return jax.vmap(per_graph)(user_vec)                      # [g, U]
+
+
+def _ssl_loss(params: Dict, batch: TrainBatch, final_user: jnp.ndarray,
+              final_item: jnp.ndarray, user_vec: jnp.ndarray,
+              item_vec: jnp.ndarray, user_weight: jnp.ndarray,
+              cfg: ModelConfig) -> jax.Array:
+    """Personalized self-augmented loss (model.py:185-204).
+
+    For each interval k and pair j: with (uA, iA) and (uB, iB) the two halves
+    of the reference's interleaved layout,
+        S_final = w[uA]·sg(score_long(uA,iA)) − w[uB]·sg(score_long(uB,iB))
+        loss   += Σ max(0, 1 − S_final·(score_short_A − score_short_B))
+    where score(u,i) = Σ leakyRelu(u_emb ⊙ i_emb).
+    """
+    leaky = cfg.leaky
+
+    def score(ue, ie, u_idx, i_idx):
+        pu = jnp.take(ue, u_idx, axis=0)
+        pi = jnp.take(ie, i_idx, axis=0)
+        return jnp.sum(leaky_relu(pu * pi, leaky), axis=-1)
+
+    def per_graph(inp):
+        uv_k, iv_k, w_k, ua, ia, ub, ib, m = inp
+        s_long_a = jax.lax.stop_gradient(score(final_user, final_item, ua, ia))
+        s_long_b = jax.lax.stop_gradient(score(final_user, final_item, ub, ib))
+        s_final = jnp.take(w_k, ua) * s_long_a - jnp.take(w_k, ub) * s_long_b
+        s_short_a = score(uv_k, iv_k, ua, ia)
+        s_short_b = score(uv_k, iv_k, ub, ib)
+        hinge = jnp.maximum(0.0, 1.0 - s_final * (s_short_a - s_short_b))
+        return jnp.sum(hinge * m)
+
+    losses = jax.lax.map(per_graph, (
+        user_vec, item_vec, user_weight,
+        batch.ssl_u_a, batch.ssl_i_a, batch.ssl_u_b, batch.ssl_i_b,
+        batch.ssl_mask))
+    return jnp.sum(losses)
+
+
+# ---------------------------------------------------------------------------
+# Public model facade
+# ---------------------------------------------------------------------------
+
+class SelfGNN:
+    """Functional model facade binding a config + graph sizes.
+
+    Graphs are passed per-call as a dict of [g, E] int32 arrays
+    (u_src/u_tgt/i_src/i_tgt, from data.graph.compile_interval_graphs) so the
+    same compiled executable serves any graph with the same padded shape.
+    """
+
+    def __init__(self, cfg: ModelConfig, num_users: int, num_items: int):
+        self.cfg = cfg
+        self.num_users = num_users
+        self.num_items = num_items
+
+    def init(self, key: jax.Array) -> Dict:
+        return init_params(key, self.cfg, self.num_users, self.num_items)
+
+    def encode(self, params: Dict, graphs: Dict[str, jnp.ndarray],
+               train: bool = False, rng: Optional[jax.Array] = None):
+        """Full-graph encoding shared by train and eval.
+
+        Returns (final_user [U,D], final_item [I,D],
+                 user_vec [g,U,D], item_vec [g,I,D]).
+        """
+        user_vec, item_vec = _interval_propagation(
+            params, graphs, self.cfg, self.num_users, self.num_items)
+        final_user, final_item = _temporal_fusion(
+            params, user_vec, item_vec, self.cfg, train, rng)
+        return final_user, final_item, user_vec, item_vec
+
+    def train_losses(self, params: Dict, graphs: Dict[str, jnp.ndarray],
+                     batch: TrainBatch, rng: Optional[jax.Array] = None
+                     ) -> Tuple[jax.Array, jax.Array, Dict]:
+        """(preLoss, sslloss, aux) for one step (model.py:241-246)."""
+        cfg = self.cfg
+        final_user, final_item, user_vec, item_vec = self.encode(
+            params, graphs, train=True, rng=rng)
+        att_user = _sequence_branch(params, final_item, batch.seq,
+                                    batch.seq_mask, cfg)
+
+        def preds(iids):
+            pu = jnp.take(final_user, batch.uids, axis=0)
+            pi = jnp.take(final_item, iids, axis=0)
+            base = jnp.sum(pu * pi, axis=-1)
+            au = leaky_relu(jnp.take(att_user, batch.useq_row, axis=0),
+                            cfg.leaky)
+            pia = jnp.take(final_item, iids, axis=0)  # iEmbed_att == final_item
+            return base + jnp.sum(au * pia, axis=-1)  # model.py:169-173
+
+        pos = preds(batch.pos_iids)
+        neg = preds(batch.neg_iids)
+        hinge = jnp.maximum(0.0, 1.0 - (pos - neg)) * batch.pair_mask
+        # reference: reduce_mean over the real pairs (model.py:244)
+        pre_loss = jnp.sum(hinge) / jnp.maximum(1.0, jnp.sum(batch.pair_mask))
+
+        user_weight = _user_weights(params, final_user, user_vec, cfg)
+        ssl = _ssl_loss(params, batch, final_user, final_item, user_vec,
+                        item_vec, user_weight, cfg)
+        aux = {"pos_pred": pos, "neg_pred": neg}
+        return pre_loss, ssl, aux
+
+    def score_candidates(self, params: Dict, graphs: Dict[str, jnp.ndarray],
+                         user_ids: jnp.ndarray, cand_iids: jnp.ndarray,
+                         seq: jnp.ndarray, seq_mask: jnp.ndarray
+                         ) -> jax.Array:
+        """Test scoring: users [B], candidates [B, C] -> scores [B, C]
+        (the eval path of model.py:169-173 with keepRate=1)."""
+        final_user, final_item, _, _ = self.encode(params, graphs,
+                                                   train=False)
+        return self.score_with_encodings(params, final_user, final_item,
+                                         user_ids, cand_iids, seq, seq_mask)
+
+    def score_with_encodings(self, params: Dict, final_user: jnp.ndarray,
+                             final_item: jnp.ndarray, user_ids: jnp.ndarray,
+                             cand_iids: jnp.ndarray, seq: jnp.ndarray,
+                             seq_mask: jnp.ndarray) -> jax.Array:
+        """Candidate scoring from precomputed node encodings. Eval is
+        deterministic (keepRate=1), so encoding once per test epoch and
+        reusing it across batches is exact — unlike the reference, which
+        re-runs the full forward per test batch (model.py:459)."""
+        cfg = self.cfg
+        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg)
+        pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
+        pi = jnp.take(final_item, cand_iids, axis=0)          # [B, C, D]
+        base = jnp.einsum("bd,bcd->bc", pu, pi)
+        au = leaky_relu(att_user, cfg.leaky)                  # [B, D]
+        return base + jnp.einsum("bd,bcd->bc", au, pi)

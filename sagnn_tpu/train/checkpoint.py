@@ -1,0 +1,68 @@
+"""Checkpoint / resume (ref: model.py:512-527 saveHistory/loadModel).
+
+The reference saves a full tf.train.Saver checkpoint plus a pickled metrics
+history, writing only when test NDCG improves (model.py:62-66), and resumes
+both, deriving the restart epoch from history length (model.py:44-46).
+
+Here: orbax sharded checkpoint of {params, opt_state, step} plus a JSON
+metrics history sidecar, same best-NDCG save policy (enforced by Trainer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sagnn_tpu.train.metrics import MetricsHistory
+
+
+class CheckpointManager:
+    def __init__(self, root: str, save_path: str):
+        self.dir = os.path.abspath(os.path.join(root, save_path))
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    @property
+    def _state_dir(self) -> str:
+        return os.path.join(self.dir, "state")
+
+    @property
+    def _history_path(self) -> str:
+        return os.path.join(self.dir, "history.json")
+
+    def save(self, state: Dict, history: MetricsHistory) -> None:
+        state = jax.tree_util.tree_map(np.asarray, state)
+        path = self._state_dir
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, state)
+        self._ckpt.wait_until_finished()
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        with open(self._history_path, "w") as f:
+            json.dump(history.data, f)
+
+    def restore(self, abstract_state: Dict
+                ) -> Tuple[Optional[Dict], MetricsHistory]:
+        if not os.path.exists(self._state_dir):
+            return None, MetricsHistory()
+        state = self._ckpt.restore(self._state_dir, abstract_state)
+        hist = MetricsHistory()
+        if os.path.exists(self._history_path):
+            with open(self._history_path) as f:
+                hist.data.update(json.load(f))
+        return state, hist
+
+    def resume_epoch(self, history: MetricsHistory, tst_epoch: int) -> int:
+        """ref model.py:46: stloc = len(TrainLoss)*tstEpoch - (tstEpoch-1)."""
+        n = len(history.data["TrainLoss"])
+        return max(0, n * tst_epoch - (tst_epoch - 1))

@@ -1,0 +1,208 @@
+"""Training loop (ref: Recommender.run/trainEpoch/testEpoch, model.py:41-71,
+341-382, 430-482).
+
+One jitted `train_step` contains the full forward (propagation over all
+intervals, LSTM+MHSA fusion over every node, sequence branch, both losses),
+backward, and the Adam update — the reference's per-step `sess.run` becomes a
+single XLA executable. Optimizer: Adam with staircase exponential LR decay
+(model.py:248-250), decay_step = trn_num // batch (Params.py:53).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sagnn_tpu.config import Config
+from sagnn_tpu.data.graph import IntervalGraphs, compile_interval_graphs
+from sagnn_tpu.data.io import DatasetBundle
+from sagnn_tpu.data.sampler import Sampler
+from sagnn_tpu.models.selfgnn import SelfGNN, TrainBatch, reg_loss
+from sagnn_tpu.train.checkpoint import CheckpointManager
+from sagnn_tpu.train.metrics import MetricsHistory, as_numpy, topk_metrics
+from sagnn_tpu.utils.logger import log
+from sagnn_tpu.utils.profiling import StepTimer
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam + staircase exponential decay (model.py:248-250; TF defaults
+    beta1=0.9, beta2=0.999, eps=1e-8)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.train.lr,
+        transition_steps=cfg.train.decay_step,
+        decay_rate=cfg.train.decay,
+        staircase=True,
+    )
+    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def graphs_to_device(g: IntervalGraphs, device=None) -> Dict[str, jnp.ndarray]:
+    arrs = {
+        "u_src": jnp.asarray(g.u_src), "u_tgt": jnp.asarray(g.u_tgt),
+        "i_src": jnp.asarray(g.i_src), "i_tgt": jnp.asarray(g.i_tgt),
+    }
+    if device is not None:
+        arrs = {k: jax.device_put(v, device) for k, v in arrs.items()}
+    return arrs
+
+
+class Trainer:
+    """End-to-end trainer over one DatasetBundle."""
+
+    def __init__(self, cfg: Config, bundle: DatasetBundle,
+                 ckpt_root: str = "./Models", pad_multiple: int = 512):
+        assert bundle.graph_num == cfg.model.graph_num, (
+            f"dataset has {bundle.graph_num} interval graphs, config says "
+            f"{cfg.model.graph_num}")
+        self.cfg = cfg
+        self.bundle = bundle
+        self.model = SelfGNN(cfg.model, bundle.num_users, bundle.num_items)
+        self.graph_blocks = compile_interval_graphs(
+            bundle.sub_mats, pad_multiple=pad_multiple)
+        self.graphs = graphs_to_device(self.graph_blocks)
+        self.sampler = Sampler(
+            bundle=bundle, batch=cfg.train.batch,
+            samp_num=cfg.train.samp_num, ssl_num=cfg.train.ssl_num,
+            pred_num=cfg.train.pred_num, pos_length=cfg.model.pos_length,
+            test_size=cfg.train.test_size, seed=cfg.train.seed)
+        self.optimizer = make_optimizer(cfg)
+        self.ckpt = CheckpointManager(ckpt_root, cfg.train.save_path)
+        self.history = MetricsHistory()
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.step_timer = StepTimer()
+        # edges processed per step: 2 directions × gnn_layer hops × padded E
+        # per interval × graph_num intervals (SURVEY.md §6 metric)
+        self.edges_per_step = (2 * cfg.model.gnn_layer
+                               * self.graph_blocks.graph_num
+                               * self.graph_blocks.edges_padded)
+
+        self.rng, init_key = jax.random.split(self.rng)
+        params = self.model.init(init_key)
+        self.state = {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._encode_eval = jax.jit(
+            lambda params, graphs: self.model.encode(params, graphs,
+                                                     train=False)[:2])
+        self._score_eval = jax.jit(self._score_eval_impl)
+
+    # -- jitted bodies -----------------------------------------------------
+
+    def _train_step_impl(self, state: Dict, graphs: Dict, batch: TrainBatch,
+                         rng: jax.Array):
+        cfg = self.cfg
+
+        def loss_fn(params):
+            pre, ssl, _aux = self.model.train_losses(params, graphs, batch,
+                                                     rng)
+            reg = cfg.train.reg * reg_loss(params) + cfg.train.ssl_reg * ssl
+            return pre + reg, (pre, reg)
+
+        (loss, (pre, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = self.optimizer.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1}
+        return new_state, {"loss": loss, "preLoss": pre, "regLoss": reg}
+
+    def _score_eval_impl(self, params, final_user, final_item, user_ids,
+                         cand, seq, seq_mask, valid):
+        scores = self.model.score_with_encodings(
+            params, final_user, final_item, user_ids, cand, seq, seq_mask)
+        return topk_metrics(scores, ks=(1, 5, 10, 15, 20), valid=valid)
+
+    # -- epochs --------------------------------------------------------------
+
+    def train_epoch(self, verbose: bool = True) -> Dict[str, float]:
+        cfg = self.cfg
+        ids = self.sampler.epoch_user_ids(cfg.train.trn_num)
+        steps = int(np.ceil(len(ids) / cfg.train.batch))
+        epoch_loss = epoch_pre = 0.0
+        for i in range(steps):
+            bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
+            batch = self.sampler.train_batch(bat)
+            self.rng, key = jax.random.split(self.rng)
+            self.step_timer.tic()
+            self.state, stats = self._train_step(self.state, self.graphs,
+                                                 batch, key)
+            stats = {k: float(v) for k, v in stats.items()}
+            self.step_timer.toc()
+            epoch_loss += stats["loss"]
+            epoch_pre += stats["preLoss"]
+            if verbose:
+                log(f"Step {i}/{steps}: preloss = {stats['preLoss']:.2f}, "
+                    f"REGLoss = {stats['regLoss']:.2f}         ",
+                    save=False, oneline=True)
+        return {"Loss": epoch_loss / steps, "preLoss": epoch_pre / steps}
+
+    def test_epoch(self) -> Dict[str, float]:
+        cfg = self.cfg
+        ids = np.asarray(self.bundle.tst_usrs)
+        num = len(ids)
+        steps = int(np.ceil(num / cfg.train.batch))
+        final_user, final_item = self._encode_eval(self.state["params"],
+                                                   self.graphs)
+        totals: Dict[str, float] = {}
+        for i in range(steps):
+            bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
+            user_ids, cand, _pos, seq, seq_mask, valid = \
+                self.sampler.test_batch(bat, test_mode=cfg.train.test_mode)
+            mets = as_numpy(self._score_eval(
+                self.state["params"], final_user, final_item,
+                jnp.asarray(user_ids), jnp.asarray(cand), jnp.asarray(seq),
+                jnp.asarray(seq_mask), jnp.asarray(valid)))
+            for k, v in mets.items():
+                totals[k] = totals.get(k, 0.0) + v
+        out = {k: v / num for k, v in totals.items()}
+        # headline metrics keyed like the reference (shoot=10)
+        out["HR"] = out[f"HR@{cfg.train.shoot}"]
+        out["NDCG"] = out[f"NDCG@{cfg.train.shoot}"]
+        return out
+
+    # -- full run (ref model.py:41-71) ----------------------------------------
+
+    def run(self, resume: bool = False) -> Dict[str, float]:
+        cfg = self.cfg
+        st_epoch = 0
+        if resume or cfg.train.load_model:
+            state, hist = self.ckpt.restore(self.state)
+            if state is not None:
+                self.state = state
+                self.history = hist
+                st_epoch = self.ckpt.resume_epoch(hist, cfg.train.tst_epoch)
+                log(f"Model Loaded, resuming at epoch {st_epoch}")
+
+        max_ndcg, max_res, max_epoch = 0.0, {}, 0
+        for ep in range(st_epoch, cfg.train.epoch):
+            test = (ep % cfg.train.tst_epoch == 0)
+            tr = self.train_epoch()
+            self.history.append("Train", tr)
+            log(self.history.format_line("Train", ep, cfg.train.epoch, tr))
+            if test:
+                te = self.test_epoch()
+                self.history.append("Test", {
+                    "HR": te["HR"], "NDCG": te["NDCG"]})
+                log(self.history.format_line(
+                    "Test", ep, cfg.train.epoch,
+                    {"HR": te["HR"], "NDCG": te["NDCG"]}))
+                if te["NDCG"] > max_ndcg:  # best-NDCG save policy
+                    self.ckpt.save(self.state, self.history)
+                    max_ndcg, max_res, max_epoch = te["NDCG"], te, ep
+        final = self.test_epoch()
+        log(self.history.format_line("Test", cfg.train.epoch,
+                                     cfg.train.epoch,
+                                     {"HR": final["HR"],
+                                      "NDCG": final["NDCG"]}))
+        log(self.history.format_line("max", max_epoch, cfg.train.epoch,
+                                     max_res))
+        return max_res or final

@@ -1,0 +1,78 @@
+"""Profiling helpers: per-step timers, edges/s counters, jax.profiler hooks.
+
+The reference has no profiling beyond timestamped prints (SURVEY.md §5); this
+module is the framework's observability layer. `EdgeRateCounter` measures the
+headline metric (edges/s/chip through SpMM propagation).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+
+
+@dataclass
+class StepTimer:
+    """Accumulates per-step wall times; call .tic() / .toc() around steps."""
+
+    times: List[float] = field(default_factory=list)
+    _t0: float = 0.0
+
+    def tic(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def toc(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / max(1, len(self.times))
+
+    def percentile(self, p: float) -> float:
+        if not self.times:
+            return 0.0
+        s = sorted(self.times)
+        k = min(len(s) - 1, int(round(p / 100.0 * (len(s) - 1))))
+        return s[k]
+
+
+@dataclass
+class EdgeRateCounter:
+    """edges/s counter for SpMM propagation.
+
+    `edges_per_step` should count every processed (padded) edge across all
+    interval graphs, hops, and directions, i.e.
+    2 * graph_num * gnn_layer * E_padded per training step.
+    """
+
+    edges_per_step: int
+    timer: StepTimer = field(default_factory=StepTimer)
+
+    @property
+    def edges_per_sec(self) -> float:
+        m = self.timer.mean
+        return self.edges_per_step / m if m > 0 else 0.0
+
+
+@contextlib.contextmanager
+def trace(logdir: Optional[str]):
+    """jax.profiler trace context; no-op when logdir is None."""
+    if logdir is None:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def block(tree):
+    """Block until every array in a pytree is ready (for honest timing)."""
+    return jax.block_until_ready(tree)
