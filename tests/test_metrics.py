@@ -1,0 +1,55 @@
+"""HR/NDCG must be bit-identical to the reference's sort-based algorithm
+(model.py:484-510), including stable tie handling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sagnn_tpu.train.metrics import positive_ranks, topk_metrics
+from tests.reference_oracle import hr_ndcg_reference
+
+
+def _check(scores, cand, pos_items, ks=(1, 5, 10, 20)):
+    B, C = scores.shape
+    got = topk_metrics(jnp.asarray(scores), ks=ks)
+    for k in ks:
+        hit = ndcg = 0.0
+        for b in range(B):
+            h, n = hr_ndcg_reference(scores[b], cand[b], pos_items[b], k)
+            hit += h
+            ndcg += n
+        np.testing.assert_allclose(float(got[f"HR@{k}"]), hit, atol=1e-6)
+        np.testing.assert_allclose(float(got[f"NDCG@{k}"]), ndcg,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_random_scores():
+    rng = np.random.RandomState(0)
+    B, C = 16, 30
+    scores = rng.randn(B, C).astype(np.float32)
+    cand = np.stack([rng.permutation(1000)[:C] for _ in range(B)])
+    _check(scores, cand, cand[:, -1])
+
+
+def test_ties_resolve_like_stable_sort():
+    # equal scores: the positive (appended last) loses every tie, exactly as
+    # Python's stable descending sort orders it after earlier candidates
+    scores = np.array([[1.0, 1.0, 1.0, 1.0]], np.float32)
+    cand = np.array([[7, 8, 9, 42]])
+    ranks = positive_ranks(jnp.asarray(scores))
+    assert int(ranks[0]) == 3
+    _check(scores, cand, np.array([42]), ks=(1, 3, 4))
+
+
+def test_positive_wins_strictly():
+    scores = np.array([[0.1, 0.5, 0.2, 0.9]], np.float32)
+    cand = np.array([[3, 5, 6, 11]])
+    ranks = positive_ranks(jnp.asarray(scores))
+    assert int(ranks[0]) == 0
+    _check(scores, cand, np.array([11]), ks=(1,))
+
+
+def test_valid_mask():
+    scores = np.array([[0.1, 0.9], [0.9, 0.1]], np.float32)
+    got = topk_metrics(jnp.asarray(scores), ks=(1,),
+                       valid=jnp.asarray([1.0, 0.0]))
+    assert float(got["HR@1"]) == 1.0  # second row masked out

@@ -1,0 +1,121 @@
+"""Sampler semantics tests (ref model.py:252-339, 384-428)."""
+
+import numpy as np
+import pytest
+
+from sagnn_tpu.data.sampler import Sampler, neg_sample
+from sagnn_tpu.data.synthetic import synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return synthetic_dataset(num_users=40, num_items=60, graph_num=3,
+                             seq_len_range=(5, 15), test_size=12, seed=1)
+
+
+@pytest.fixture()
+def sampler(bundle):
+    return Sampler(bundle=bundle, batch=8, samp_num=6, ssl_num=4,
+                   pred_num=5, pos_length=10, test_size=12, seed=7)
+
+
+def test_neg_sample_exclusions():
+    rng = np.random.default_rng(0)
+    label = np.zeros(20)
+    label[[3, 5, 7]] = 1
+    negs = neg_sample(rng, label, 50, 20, (4, 9))
+    assert len(negs) == 50
+    assert not set(negs) & {3, 5, 7, 4, 9}
+
+
+def test_train_batch_shapes_and_semantics(sampler, bundle):
+    bat = np.arange(8)
+    b = sampler.train_batch(bat)
+    P = 8 * 6
+    assert b.uids.shape == (P,)
+    assert b.seq.shape == (8, 10)
+    m = b.pair_mask.astype(bool)
+    # pairs only for users in the batch
+    assert set(np.asarray(b.uids)[m]) <= set(bat.tolist())
+    for j in np.nonzero(m)[0]:
+        u = int(b.uids[j])
+        pos = int(b.pos_iids[j])
+        neg = int(b.neg_iids[j])
+        seqs = bundle.sequences[u]
+        # positive is from the user's train prefix (sequence[:-1])
+        assert pos in seqs[:-1]
+        # negative excludes the train row, the last item, and the test item
+        assert neg not in seqs
+        assert neg != bundle.tst_int[u]
+        # useq_row indexes the right batch row
+        assert bat[int(b.useq_row[j])] == u
+    # all positives of one user in one step are the SAME item
+    # (model.py:275-277: single target repeated sampNum times)
+    for u in bat:
+        pj = np.asarray(b.pos_iids)[m & (np.asarray(b.uids) == u)]
+        assert len(set(pj.tolist())) <= 1
+
+
+def test_train_sequence_alignment(sampler, bundle):
+    bat = np.arange(8)
+    b = sampler.train_batch(bat)
+    for i, u in enumerate(bat):
+        msk = np.asarray(b.seq_mask[i])
+        row = np.asarray(b.seq[i])
+        n = int(msk.sum())
+        if n == 0:
+            continue
+        # right-aligned: mask is 0..0 1..1
+        assert (msk[-n:] == 1).all() and (msk[:-n] == 0).all()
+        # contents are a prefix of the user's training sequence
+        # (posset[:-choose] for some choose >= 1)
+        seqs = bundle.sequences[u][:-1]
+        found = any(row[-n:].tolist() == seqs[max(0, len(seqs)-c-n):
+                                             len(seqs)-c]
+                    for c in range(1, 7))
+        assert found
+
+
+def test_ssl_batch_pairs(sampler, bundle):
+    bat = np.arange(8)
+    ssl = sampler.ssl_batch(bat)
+    g = bundle.graph_num
+    for k in range(g):
+        m = ssl["ssl_mask"][k].astype(bool)
+        rows = sampler._interval_rows[k]
+        for j in np.nonzero(m)[0]:
+            ua, ia = int(ssl["ssl_u_a"][k][j]), int(ssl["ssl_i_a"][k][j])
+            ub, ib = int(ssl["ssl_u_b"][k][j]), int(ssl["ssl_i_b"][k][j])
+            # items must be interacted items of their user in interval k
+            assert ia in rows[ua]
+            assert ib in rows[ub]
+    # users with < 2 interactions in an interval contribute no pairs
+    for k in range(g):
+        n_pairs = int(ssl["ssl_mask"][k].sum())
+        expect = sum(min(4, len(sampler._interval_rows[k][u]) // 2)
+                     for u in bat)
+        assert n_pairs == expect
+
+
+def test_test_batch(sampler, bundle):
+    bat = bundle.tst_usrs[:8]
+    user_ids, cand, pos, seq, mask, valid = sampler.test_batch(bat)
+    assert cand.shape == (8, 12)
+    for i, u in enumerate(bat):
+        # positive appended last (model.py:404)
+        assert cand[i, -1] == bundle.tst_int[u] == pos[i]
+        # negatives are the 1-indexed test_dict entries minus 1 (Q8)
+        np.testing.assert_array_equal(
+            cand[i, :-1], np.array(bundle.test_dict[u + 1][:11]) - 1)
+        # test mode: full sequence fed (model.py:413-414)
+        n = int(mask[i].sum())
+        full = bundle.sequences[u]
+        expect = full[-min(len(full), 10):]
+        np.testing.assert_array_equal(seq[i][-len(expect):], expect)
+
+
+def test_epoch_permutation(sampler, bundle):
+    ids = sampler.epoch_user_ids(20)
+    assert len(ids) == 20
+    assert len(set(ids.tolist())) == 20
+    assert ids.max() < bundle.num_users

@@ -1,0 +1,83 @@
+"""End-to-end trainer tests: loss decreases, checkpoint/resume roundtrip,
+noise-robustness data mode."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sagnn_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from sagnn_tpu.data.io import load_dataset, save_dataset
+from sagnn_tpu.data.synthetic import synthetic_dataset
+from sagnn_tpu.train.trainer import Trainer
+
+CFG = Config(
+    model=ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=16,
+                      num_heads=4, ssldim=8, pos_length=16, keep_rate=1.0),
+    train=TrainConfig(batch=8, samp_num=5, ssl_num=3, trn_num=32,
+                      test_size=10, epoch=2, tst_epoch=1, lr=5e-3,
+                      reg=1e-4, ssl_reg=1e-6),
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return synthetic_dataset(num_users=32, num_items=50, graph_num=3,
+                             test_size=10, seed=0)
+
+
+def test_loss_decreases(bundle, tmp_path_factory):
+    tr = Trainer(CFG, bundle,
+                 ckpt_root=str(tmp_path_factory.mktemp("ck")),
+                 pad_multiple=64)
+    first = tr.train_epoch(verbose=False)
+    for _ in range(4):
+        last = tr.train_epoch(verbose=False)
+    assert last["preLoss"] < first["preLoss"]
+    mets = tr.test_epoch()
+    assert 0.0 <= mets["HR"] <= 1.0
+    assert 0.0 <= mets["NDCG"] <= mets["HR"] + 1e-9
+
+
+def test_checkpoint_roundtrip(bundle, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ck2"))
+    tr = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)
+    tr.train_epoch(verbose=False)
+    tr.history.append("Train", {"Loss": 1.0, "preLoss": 0.9})
+    tr.ckpt.save(tr.state, tr.history)
+
+    tr2 = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)
+    state, hist = tr2.ckpt.restore(tr2.state)
+    assert state is not None
+    assert hist.data["TrainLoss"] == [1.0]
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state["params"]),
+                    jax.tree_util.tree_leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume-epoch formula (model.py:46)
+    assert tr2.ckpt.resume_epoch(hist, tst_epoch=3) == 1
+
+
+def test_dataset_io_roundtrip(bundle, tmp_path):
+    save_dataset(str(tmp_path / "ds"), bundle)
+    loaded = load_dataset(str(tmp_path / "ds"))
+    assert loaded.num_users == bundle.num_users
+    assert loaded.num_items == bundle.num_items
+    assert loaded.graph_num == bundle.graph_num
+    assert (loaded.trn_mat != bundle.trn_mat).nnz == 0
+    for a, b in zip(loaded.sub_mats, bundle.sub_mats):
+        assert (a != b).nnz == 0
+    np.testing.assert_array_equal(loaded.tst_usrs, bundle.tst_usrs)
+    assert loaded.test_dict == bundle.test_dict
+
+
+def test_noise_mode(bundle, tmp_path):
+    import pickle
+    import scipy.sparse as sp
+    save_dataset(str(tmp_path / "ds"), bundle)
+    # write a perturbed matrix under the noise_%.2f name (DataHandler.py:87-90)
+    noised = [bundle.trn_mat, list(bundle.sub_mats), bundle.time_mat]
+    with open(tmp_path / "ds" / "noise_0.10", "wb") as f:
+        pickle.dump(noised, f)
+    loaded = load_dataset(str(tmp_path / "ds"), noise_percent=0.10)
+    assert loaded.num_users == bundle.num_users
