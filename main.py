@@ -1,0 +1,100 @@
+"""CLI entry point (ref: main.py + Params.py).
+
+    python main.py --data gowalla            # use the gowalla preset
+    python main.py --data yelp --lr 1e-3 ... # preset + overrides
+    python main.py --data synthetic          # built-in synthetic dataset
+
+Flags mirror the reference's live argparse surface; dead reference flags are
+dropped (SURVEY.md §5 config notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from sagnn_tpu.config import Config, DataConfig, ModelConfig, PRESETS, TrainConfig
+from sagnn_tpu.data.io import load_dataset
+from sagnn_tpu.data.synthetic import synthetic_dataset
+from sagnn_tpu.train.trainer import Trainer
+from sagnn_tpu.utils.logger import log
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="sagnn_tpu")
+    p.add_argument("--data", default="yelp")
+    p.add_argument("--data_dir", default="./Datasets")
+    p.add_argument("--lr", type=float)
+    p.add_argument("--batch", type=int)
+    p.add_argument("--reg", type=float)
+    p.add_argument("--epoch", type=int)
+    p.add_argument("--graphNum", type=int, dest="graph_num")
+    p.add_argument("--decay", type=float)
+    p.add_argument("--save_path")
+    p.add_argument("--latdim", type=int)
+    p.add_argument("--ssldim", type=int)
+    p.add_argument("--sampNum", type=int, dest="samp_num")
+    p.add_argument("--testSize", type=int, dest="test_size")
+    p.add_argument("--sslNum", type=int, dest="ssl_num")
+    p.add_argument("--num_attention_heads", type=int, dest="num_heads")
+    p.add_argument("--gnn_layer", type=int)
+    p.add_argument("--trnNum", type=int, dest="trn_num")
+    p.add_argument("--load_model")
+    p.add_argument("--shoot", type=int)
+    p.add_argument("--keepRate", type=float, dest="keep_rate")
+    p.add_argument("--tstEpoch", type=int, dest="tst_epoch")
+    p.add_argument("--leaky", type=float)
+    p.add_argument("--ssl_reg", type=float)
+    p.add_argument("--percent", type=float, default=0.0)
+    p.add_argument("--pos_length", type=int)
+    p.add_argument("--att_layer", type=int)
+    p.add_argument("--pred_num", type=int)
+    p.add_argument("--test", type=lambda s: s.lower() != "false",
+                   dest="test_mode", default=None)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--ckpt_root", default="./Models")
+    return p.parse_args()
+
+
+MODEL_KEYS = {f.name for f in dataclasses.fields(ModelConfig)}
+TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainConfig)}
+
+
+def build_config(ns: argparse.Namespace) -> Config:
+    cfg = PRESETS.get(ns.data, Config())
+    m_over = {k: v for k, v in vars(ns).items()
+              if k in MODEL_KEYS and v is not None}
+    t_over = {k: v for k, v in vars(ns).items()
+              if k in TRAIN_KEYS and v is not None}
+    return Config(
+        model=dataclasses.replace(cfg.model, **m_over),
+        train=dataclasses.replace(cfg.train, **t_over),
+        data=DataConfig(data=ns.data, data_dir=ns.data_dir,
+                        noise_percent=ns.percent),
+    )
+
+
+def main() -> None:
+    ns = parse_args()
+    cfg = build_config(ns)
+    log("Start")
+    if ns.data == "synthetic":
+        bundle = synthetic_dataset(num_users=2048, num_items=4096,
+                                   graph_num=cfg.model.graph_num,
+                                   test_size=cfg.train.test_size,
+                                   seed=cfg.train.seed)
+    else:
+        bundle = load_dataset(cfg.data.predir, cfg.data.noise_percent)
+    log(f"Load Data: USER {bundle.num_users} ITEM {bundle.num_items}")
+    if bundle.graph_num != cfg.model.graph_num:
+        cfg = Config(model=dataclasses.replace(
+            cfg.model, graph_num=bundle.graph_num),
+            train=cfg.train, data=cfg.data)
+    trainer = Trainer(cfg, bundle, ckpt_root=ns.ckpt_root)
+    log("Model Prepared")
+    trainer.run(resume=cfg.train.load_model is not None)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,32 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
 
 
+def make_train_step(model: SelfGNN, optimizer: optax.GradientTransformation,
+                    reg_weight: float, ssl_weight: float):
+    """Pure train-step function: (state, graphs, batch, rng) -> (state, stats).
+
+    Shared by the single-chip Trainer and the sharded/multichip paths — the
+    whole forward+backward+Adam update is one XLA program (the reference's
+    sess.run target list, model.py:354+373)."""
+
+    def step(state: Dict, graphs: Dict, batch: TrainBatch, rng: jax.Array):
+        def loss_fn(params):
+            pre, ssl, _aux = model.train_losses(params, graphs, batch, rng)
+            reg = reg_weight * reg_loss(params) + ssl_weight * ssl
+            return pre + reg, (pre, reg)
+
+        (loss, (pre, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": state["step"] + 1}
+        return new_state, {"loss": loss, "preLoss": pre, "regLoss": reg}
+
+    return step
+
+
 def graphs_to_device(g: IntervalGraphs, device=None) -> Dict[str, jnp.ndarray]:
     arrs = {
         "u_src": jnp.asarray(g.u_src), "u_tgt": jnp.asarray(g.u_tgt),
@@ -88,32 +114,16 @@ class Trainer:
             "opt_state": self.optimizer.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.optimizer, cfg.train.reg,
+                            cfg.train.ssl_reg),
+            donate_argnums=(0,))
         self._encode_eval = jax.jit(
             lambda params, graphs: self.model.encode(params, graphs,
                                                      train=False)[:2])
         self._score_eval = jax.jit(self._score_eval_impl)
 
     # -- jitted bodies -----------------------------------------------------
-
-    def _train_step_impl(self, state: Dict, graphs: Dict, batch: TrainBatch,
-                         rng: jax.Array):
-        cfg = self.cfg
-
-        def loss_fn(params):
-            pre, ssl, _aux = self.model.train_losses(params, graphs, batch,
-                                                     rng)
-            reg = cfg.train.reg * reg_loss(params) + cfg.train.ssl_reg * ssl
-            return pre + reg, (pre, reg)
-
-        (loss, (pre, reg)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"])
-        updates, opt_state = self.optimizer.update(
-            grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
-        new_state = {"params": params, "opt_state": opt_state,
-                     "step": state["step"] + 1}
-        return new_state, {"loss": loss, "preLoss": pre, "regLoss": reg}
 
     def _score_eval_impl(self, params, final_user, final_item, user_ids,
                          cand, seq, seq_mask, valid):
