@@ -56,23 +56,38 @@ def build_blocks(rng):
     return u_src, u_tgt, i_src, i_tgt
 
 
+def _time_fn(fn, *args, iters=ITERS):
+    """Honest timing: fetch a scalar each iteration (block_until_ready does
+    not synchronize reliably through the device relay)."""
+    import jax
+    v = float(fn(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = float(fn(*args))
+    return (time.perf_counter() - t0) / iters, v
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
     from sagnn_tpu.ops.segment import propagate
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans, spmm
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
     rng = np.random.default_rng(0)
-    u_src, u_tgt, i_src, i_tgt = (jnp.asarray(x) for x in build_blocks(rng))
+    blocks_np = build_blocks(rng)
+    u_src, u_tgt, i_src, i_tgt = (jnp.asarray(x) for x in blocks_np)
     key = jax.random.PRNGKey(0)
     u_emb = jax.random.normal(key, (GRAPH_NUM, NUM_USERS, LATDIM),
                               jnp.float32)
     i_emb = jax.random.normal(key, (GRAPH_NUM, NUM_ITEMS, LATDIM),
                               jnp.float32)
+    edges_per_step = 2 * GNN_LAYER * GRAPH_NUM * EDGES_PER_INTERVAL
 
+    # -- XLA reference path (gather + scatter segment_sum) ------------------
     @jax.jit
-    def propagation(u_emb, i_emb):
+    def propagation_xla(u_emb, i_emb):
         def one(_, inp):
             u0, i0, us, ut, isrc, itgt = inp
             embs0, embs1 = [u0], [i0]
@@ -81,24 +96,57 @@ def main() -> None:
                 a1 = propagate(embs0[-1], isrc, itgt, NUM_ITEMS, 0.5)
                 embs0.append(a0 + embs0[-1])
                 embs1.append(a1 + embs1[-1])
-            return None, (sum(embs0[1:], embs0[0]), sum(embs1[1:], embs1[0]))
+            return None, (sum(embs0[1:], embs0[0]).sum(),
+                          sum(embs1[1:], embs1[0]).sum())
 
         _, (uv, iv) = jax.lax.scan(one, None,
                                    (u_emb, i_emb, u_src, u_tgt, i_src, i_tgt))
-        return uv, iv
+        return uv.sum() + iv.sum()
 
-    # warmup / compile
-    out = propagation(u_emb, i_emb)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = propagation(u_emb, i_emb)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt_xla, _ = _time_fn(propagation_xla, u_emb, i_emb, iters=5)
+    log(f"XLA path: {dt_xla*1e3:.2f} ms/step, "
+        f"{edges_per_step/dt_xla/1e9:.3f} Gedges/s")
 
-    edges_per_step = 2 * GNN_LAYER * GRAPH_NUM * EDGES_PER_INTERVAL
+    # -- Pallas path ---------------------------------------------------------
+    plans_np = build_stacked_plans(
+        *blocks_np, NUM_USERS, NUM_ITEMS,
+        np.full(GRAPH_NUM, EDGES_PER_INTERVAL))
+    plans = {d: {k: jnp.asarray(v) for k, v in plans_np[d].items()}
+             for d in ("u", "i")}
+    nb_u = -(-NUM_USERS // 128)
+    nb_i = -(-NUM_ITEMS // 128)
+
+    @jax.jit
+    def propagation_pallas(u_emb, i_emb):
+        def hop(x, fwd, bwd, fnb, fnt, bnb, bnt):
+            agg = spmm(x, fwd, bwd, fnb, fnt, bnb, bnt, False)
+            return jnp.maximum(0.5 * agg, agg)
+
+        def one(_, inp):
+            u0, i0, pu, pi = inp
+            fu = (pu["src"], pu["tgt_local"], pu["chunk_block"],
+                  pu["chunk_first"])
+            fi = (pi["src"], pi["tgt_local"], pi["chunk_block"],
+                  pi["chunk_first"])
+            embs0, embs1 = [u0], [i0]
+            for _l in range(GNN_LAYER):
+                a0 = hop(embs1[-1], fu, fi, nb_u, NUM_USERS, nb_i, NUM_ITEMS)
+                a1 = hop(embs0[-1], fi, fu, nb_i, NUM_ITEMS, nb_u, NUM_USERS)
+                embs0.append(a0 + embs0[-1])
+                embs1.append(a1 + embs1[-1])
+            return None, (sum(embs0[1:], embs0[0]).sum(),
+                          sum(embs1[1:], embs1[0]).sum())
+
+        _, (uv, iv) = jax.lax.scan(one, None,
+                                   (u_emb, i_emb, plans["u"], plans["i"]))
+        return uv.sum() + iv.sum()
+
+    dt_pl, _ = _time_fn(propagation_pallas, u_emb, i_emb, iters=5)
+    log(f"Pallas path: {dt_pl*1e3:.2f} ms/step, "
+        f"{edges_per_step/dt_pl/1e9:.3f} Gedges/s")
+
+    dt = min(dt_xla, dt_pl)
     edges_per_sec = edges_per_step / dt
-    log(f"step time {dt*1e3:.2f} ms, {edges_per_sec/1e9:.3f} G edges/s")
 
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_BASELINE.json")
@@ -106,7 +154,8 @@ def main() -> None:
         with open(anchor_path) as f:
             anchor = json.load(f)["edges_per_sec"]
     else:
-        anchor = edges_per_sec
+        # anchor = the XLA segment-sum reference path, frozen on first run
+        anchor = edges_per_step / dt_xla
         with open(anchor_path, "w") as f:
             json.dump({"edges_per_sec": anchor,
                        "note": "round-1 XLA segment-sum reference path"}, f)

@@ -37,6 +37,10 @@ class ModelConfig:
     # "fixed" variants (stable softmax, per-token sequence attention).
     stable_softmax: bool = False    # Q5: ref uses raw exp attention
     per_token_seq_attention: bool = False  # Q3: ref pools seq to 1 token
+    # SpMM propagation backend: "xla" (jax.ops.segment_sum reference path)
+    # or "pallas" (ops/spmm_pallas.py one-hot-matmul kernel, no scatter).
+    spmm_backend: str = "xla"
+    spmm_exact: bool = True         # pallas: 3-pass f32 MXU (parity) vs bf16
 
     @property
     def head_dim(self) -> int:

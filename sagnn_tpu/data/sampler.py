@@ -82,6 +82,7 @@ class Sampler:
     pos_length: int
     test_size: int
     seed: int = 100
+    backend: str = "auto"   # "auto" | "native" | "numpy"
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -95,6 +96,16 @@ class Sampler:
              for u in range(b.num_users)]
             for m in self._sub_csrs
         ]
+        self._native = None
+        if self.backend in ("auto", "native"):
+            from sagnn_tpu.data import native_sampler as ns
+            lib = ns.load_library()
+            if lib is not None:
+                self._native = (lib, ns.NativeSamplerState(
+                    b.sequences, self._trn_csr, self._sub_csrs, b.tst_int))
+            elif self.backend == "native":
+                raise RuntimeError("native sampler library unavailable "
+                                   "(make -C sagnn_tpu/native)")
 
     # -- train ------------------------------------------------------------
 
@@ -103,6 +114,25 @@ class Sampler:
         return self.rng.permutation(self.bundle.num_users)[:trn_num]
 
     def train_batch(self, bat_ids: np.ndarray) -> TrainBatch:
+        if self._native is not None:
+            return self._train_batch_native(bat_ids)
+        return self._train_batch_numpy(bat_ids)
+
+    def _train_batch_native(self, bat_ids: np.ndarray) -> TrainBatch:
+        from sagnn_tpu.data import native_sampler as ns
+        lib, state = self._native
+        seed = int(self.rng.integers(0, 2 ** 63))
+        uids, pos_iids, neg_iids, useq_row, pair_mask, seq, mask = \
+            ns.native_train_batch(lib, state, bat_ids, self.batch,
+                                  self.samp_num, self.pred_num,
+                                  self.pos_length, self.bundle.num_items,
+                                  seed)
+        ssl = self.ssl_batch(bat_ids)
+        return TrainBatch(uids=uids, pos_iids=pos_iids, neg_iids=neg_iids,
+                          useq_row=useq_row, pair_mask=pair_mask, seq=seq,
+                          seq_mask=mask, **ssl)
+
+    def _train_batch_numpy(self, bat_ids: np.ndarray) -> TrainBatch:
         b = self.bundle
         B, P = self.batch, self.batch * self.samp_num
         uids = np.zeros(P, dtype=np.int32)
@@ -143,6 +173,31 @@ class Sampler:
     # -- ssl ---------------------------------------------------------------
 
     def ssl_batch(self, bat_ids: np.ndarray) -> dict:
+        if self._native is not None:
+            return self._ssl_batch_native(bat_ids)
+        return self._ssl_batch_numpy(bat_ids)
+
+    def _ssl_batch_native(self, bat_ids: np.ndarray) -> dict:
+        from sagnn_tpu.data import native_sampler as ns
+        lib, state = self._native
+        g = self.bundle.graph_num
+        Pssl = self.batch * self.ssl_num
+        out = {k: np.empty((g, Pssl),
+                           np.float32 if k == "ssl_mask" else np.int32)
+               for k in ("ssl_u_a", "ssl_i_a", "ssl_u_b", "ssl_i_b",
+                         "ssl_mask")}
+        for k in range(g):
+            seed = int(self.rng.integers(0, 2 ** 63))
+            u_a, i_a, u_b, i_b, m = ns.native_ssl_batch(
+                lib, state, k, bat_ids, self.batch, self.ssl_num, seed)
+            out["ssl_u_a"][k] = u_a
+            out["ssl_i_a"][k] = i_a
+            out["ssl_u_b"][k] = u_b
+            out["ssl_i_b"][k] = i_b
+            out["ssl_mask"][k] = m
+        return out
+
+    def _ssl_batch_numpy(self, bat_ids: np.ndarray) -> dict:
         b = self.bundle
         g = b.graph_num
         Pssl = self.batch * self.ssl_num

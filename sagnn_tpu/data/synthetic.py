@@ -70,13 +70,15 @@ def synthetic_dataset(
         rows.extend([u] * len(train_items))
         cols.extend(train_items)
         vals.extend(train_t.tolist())
-        # negatives exclude the user's full history
-        seen = set(items)
-        negs = []
-        while len(negs) < test_size - 1:
-            cand = int(rng.choice(num_items, p=probs))
-            if cand not in seen:
-                negs.append(cand + 1)  # 1-indexed, like the reference pickle
+        # negatives exclude the user's full history (vectorized rejection)
+        seen = np.zeros(num_items, dtype=bool)
+        seen[items] = True
+        need = test_size - 1
+        negs: List[int] = []
+        while len(negs) < need:
+            cands = rng.choice(num_items, size=2 * need, p=probs)
+            good = cands[~seen[cands]]
+            negs.extend((good[: need - len(negs)] + 1).tolist())  # 1-indexed
         test_dict[u + 1] = negs
 
     full = sp.csr_matrix(

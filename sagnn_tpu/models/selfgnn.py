@@ -135,8 +135,44 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     Returns user_vec [g, U, D], item_vec [g, I, D] — the layer-summed
     per-interval node states. Implemented as a lax.scan over the interval
     axis so HLO size is independent of graph_num.
+
+    Backend selection: "xla" uses jax.ops.segment_sum (gather+scatter);
+    "pallas" uses the one-hot-matmul kernel with scan-stacked plans
+    (graphs["plans"], built by ops.spmm_pallas.build_stacked_plans) — its
+    custom VJP also removes the scatter from the backward pass.
     """
     leaky = cfg.leaky
+    use_pallas = cfg.spmm_backend == "pallas"
+    if use_pallas:
+        assert "plans" in graphs, "pallas backend needs graphs['plans']"
+        from sagnn_tpu.ops.spmm_pallas import R as _R, spmm
+        nb_u = -(-num_users // _R)
+        nb_i = -(-num_items // _R)
+
+        def hop(x, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt):
+            agg = spmm(x, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
+                       cfg.spmm_exact)
+            return jnp.maximum(leaky * agg, agg)
+
+        def one_interval(_, inp):
+            u0, i0, pu, pi = inp
+            fu = (pu["src"], pu["tgt_local"], pu["chunk_block"],
+                  pu["chunk_first"])
+            fi = (pi["src"], pi["tgt_local"], pi["chunk_block"],
+                  pi["chunk_first"])
+            embs0, embs1 = [u0], [i0]
+            for _l in range(cfg.gnn_layer):
+                a0 = hop(embs1[-1], fu, fi, nb_u, num_users, nb_i, num_items)
+                a1 = hop(embs0[-1], fi, fu, nb_i, num_items, nb_u, num_users)
+                embs0.append(a0 + embs0[-1])
+                embs1.append(a1 + embs1[-1])
+            return None, (sum(embs0[1:], embs0[0]), sum(embs1[1:], embs1[0]))
+
+        _, (user_vec, item_vec) = jax.lax.scan(
+            one_interval, None,
+            (params["reg"]["u_embed"], params["reg"]["i_embed"],
+             graphs["plans"]["u"], graphs["plans"]["i"]))
+        return user_vec, item_vec
 
     def one_interval(_, inp):
         u0, i0, u_src, u_tgt, i_src, i_tgt = inp

@@ -86,12 +86,20 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
 
     num_blocks = max(1, -(-num_tgt // R))
     blocks = tgt // R if num_edges else np.zeros(0, np.int32)
-    # chunk boundaries: every C edges within a block
+    # chunk boundaries: every C edges within a block. EVERY block gets at
+    # least one chunk — empty blocks get an all-padding chunk whose
+    # chunk_first=1 zeroes the output tile (otherwise it would be read back
+    # uninitialized from VMEM).
     chunks_src, chunks_tl, chunk_block, chunk_first = [], [], [], []
-    start = 0
-    while start < num_edges:
-        b = blocks[start]
-        end = int(np.searchsorted(blocks, b, side="right"))
+    bounds = np.searchsorted(blocks, np.arange(num_blocks + 1))
+    for b in range(num_blocks):
+        start, end = int(bounds[b]), int(bounds[b + 1])
+        if start == end:
+            chunks_src.append(np.zeros(C, np.int32))
+            chunks_tl.append(np.full(C, R, np.int32))
+            chunk_block.append(b)
+            chunk_first.append(1)
+            continue
         for cs in range(start, end, C):
             ce = min(cs + C, end)
             s = np.zeros(C, np.int32)
@@ -102,7 +110,6 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
             chunks_tl.append(tl)
             chunk_block.append(b)
             chunk_first.append(1 if cs == start else 0)
-        start = end
 
     nc = len(chunk_block)
     target_nc = num_chunks or max(1, nc)
@@ -173,6 +180,8 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
     out = pl.pallas_call(
         functools.partial(_segsum_kernel, exact=exact),
         grid_spec=grid_spec,
+        # CPU (tests, CI meshes) runs the kernel in interpreter mode
+        interpret=jax.default_backend() == "cpu",
         out_shape=jax.ShapeDtypeStruct(((num_blocks + 1) * R, d),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -188,7 +197,14 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
                chunk_block: jax.Array, chunk_first: jax.Array,
                num_blocks: int, num_tgt: int,
                exact: bool = True) -> jax.Array:
-    """out[t] = Σ_{e: tgt[e]=t} x[src[e]] — XLA gather + Pallas segsum."""
+    """out[t] = Σ_{e: tgt[e]=t} x[src[e]] — XLA gather + Pallas segsum.
+
+    exact=False is the throughput path: the node table is cast to bf16
+    BEFORE the gather, halving the dominant random-read+stream traffic of
+    the [E, D] message stream; accumulation stays f32 in the kernel.
+    """
+    if not exact:
+        x = x.astype(jnp.bfloat16)
     messages = jnp.take(x, src, axis=0)  # [NC*C, D], bandwidth-bound
     out = _segsum_pallas(messages, tgt_local, chunk_block, chunk_first,
                          num_blocks, exact=exact)
@@ -209,19 +225,98 @@ def _plan_args(p):
             p.num_blocks, p.num_tgt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def spmm(x: jax.Array, fwd_plan, bwd_plan) -> jax.Array:
-    """Differentiable A @ x for the fixed sparse A described by fwd_plan;
-    bwd_plan describes A^T (same edge set sorted by source)."""
-    return spmm_apply(x, *_plan_args(fwd_plan))
+def _float0s(tree):
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), tree)
 
 
-def _spmm_fwd(x, fwd_plan, bwd_plan):
-    return spmm_apply(x, *_plan_args(fwd_plan)), None
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def spmm(x: jax.Array, fwd_arrays: Tuple, bwd_arrays: Tuple,
+         fwd_nb: int, fwd_nt: int, bwd_nb: int, bwd_nt: int,
+         exact: bool = True) -> jax.Array:
+    """Differentiable A @ x for the fixed sparse A.
+
+    fwd_arrays/bwd_arrays: (src, tgt_local, chunk_block, chunk_first) device
+    arrays for A (target-sorted) and A^T (source-sorted) — TRACED args, so
+    this composes with lax.scan over stacked per-interval plans; the static
+    block/target counts ride nondiff_argnums.
+    """
+    return spmm_apply(x, *fwd_arrays, fwd_nb, fwd_nt, exact=exact)
 
 
-def _spmm_bwd(fwd_plan, bwd_plan, _res, g):
-    return (spmm_apply(g, *_plan_args(bwd_plan)),)
+def _spmm_fwd(x, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
+              exact):
+    out = spmm_apply(x, *fwd_arrays, fwd_nb, fwd_nt, exact=exact)
+    return out, (fwd_arrays, bwd_arrays)
+
+
+def _spmm_bwd(fwd_nb, fwd_nt, bwd_nb, bwd_nt, exact, res, g):
+    fwd_arrays, bwd_arrays = res
+    dx = spmm_apply(g, *bwd_arrays, bwd_nb, bwd_nt, exact=exact)
+    return dx, _float0s(fwd_arrays), _float0s(bwd_arrays)
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm_from_plans(x: jax.Array, fwd_plan: SpmmPlan, bwd_plan: SpmmPlan,
+                    exact: bool = True) -> jax.Array:
+    """Convenience wrapper for host-side SpmmPlan pairs (tests, benchmarks)."""
+    *fa, fnb, fnt = _plan_args(fwd_plan)
+    *ba, bnb, bnt = _plan_args(bwd_plan)
+    return spmm(x, tuple(fa), tuple(ba), fnb, fnt, bnb, bnt, exact)
+
+
+# ---------------------------------------------------------------------------
+# Stacked per-interval plans for the model's lax.scan over intervals
+# ---------------------------------------------------------------------------
+
+def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
+                        num_items: int, edge_counts) -> dict:
+    """Build SpMM plans for every interval in both directions and stack them
+    [g, ...] with a common chunk count per direction, for use under lax.scan.
+
+    Inputs are the padded [g, E] arrays from data.graph.IntervalGraphs.
+    Returns {'u': {...}, 'i': {...}, 'num_blocks_u', 'num_blocks_i'} where
+    each direction dict holds stacked src/tgt_local/chunk_block/chunk_first.
+    """
+    g = u_src.shape[0]
+    u_plans = [plan_spmm(u_src[k], u_tgt[k], num_users,
+                         num_edges=int(edge_counts[k])) for k in range(g)]
+    i_plans = [plan_spmm(i_src[k], i_tgt[k], num_items,
+                         num_edges=int(edge_counts[k])) for k in range(g)]
+
+    def stack(plans):
+        nc = max(p.num_chunks for p in plans)
+        plans = [p if p.num_chunks == nc else
+                 plan_spmm_repad(p, nc) for p in plans]
+        return {
+            "src": np.stack([p.src for p in plans]),
+            "tgt_local": np.stack([p.tgt_local for p in plans]),
+            "chunk_block": np.stack([p.chunk_block for p in plans]),
+            "chunk_first": np.stack([p.chunk_first for p in plans]),
+        }
+
+    return {
+        "u": stack(u_plans), "i": stack(i_plans),
+        "num_blocks_u": u_plans[0].num_blocks,
+        "num_blocks_i": i_plans[0].num_blocks,
+        "num_users": num_users, "num_items": num_items,
+    }
+
+
+def plan_spmm_repad(p: SpmmPlan, num_chunks: int) -> SpmmPlan:
+    """Pad an existing plan with extra dump-block chunks."""
+    extra = num_chunks - p.num_chunks
+    assert extra >= 0
+    return SpmmPlan(
+        src=np.concatenate([p.src, np.zeros(extra * C, np.int32)]),
+        tgt_local=np.concatenate(
+            [p.tgt_local, np.full((extra, C), R, np.int32)]),
+        chunk_block=np.concatenate(
+            [p.chunk_block, np.full(extra, p.num_blocks, np.int32)]),
+        chunk_first=np.concatenate(
+            [p.chunk_first, np.ones(extra, np.int32)]),
+        num_blocks=p.num_blocks,
+        num_tgt=p.num_tgt,
+    )

@@ -91,6 +91,16 @@ class Trainer:
         self.graph_blocks = compile_interval_graphs(
             bundle.sub_mats, pad_multiple=pad_multiple)
         self.graphs = graphs_to_device(self.graph_blocks)
+        if cfg.model.spmm_backend == "pallas":
+            from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
+            gb = self.graph_blocks
+            plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src,
+                                        gb.i_tgt, gb.num_users, gb.num_items,
+                                        gb.edge_counts)
+            self.graphs["plans"] = {
+                "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
+                "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},
+            }
         self.sampler = Sampler(
             bundle=bundle, batch=cfg.train.batch,
             samp_num=cfg.train.samp_num, ssl_num=cfg.train.ssl_num,
