@@ -71,11 +71,17 @@ class SpmmPlan:
 
 def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
               num_edges: int | None = None,
-              num_chunks: int | None = None) -> SpmmPlan:
+              num_chunks: int | None = None,
+              sort_sources: bool = True) -> SpmmPlan:
     """Build the chunk schedule from target-sorted COO edges.
 
     `src`/`tgt` may carry padding at the end (tgt == num_tgt), which is
     dropped here; `num_edges` gives the true edge count if known.
+
+    sort_sources: reorder edges WITHIN each target block by source id —
+    edge order inside a block is free (the one-hot matmul sums regardless),
+    and source-sorted chunks give the XLA gather near-sequential access
+    patterns instead of fully random ones.
     """
     src = np.asarray(src, np.int32)
     tgt = np.asarray(tgt, np.int32)
@@ -83,6 +89,9 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
         num_edges = int(np.searchsorted(tgt, num_tgt))
     src, tgt = src[:num_edges], tgt[:num_edges]
     assert (np.diff(tgt) >= 0).all(), "edges must be sorted by target"
+    if sort_sources and num_edges:
+        order = np.lexsort((src, tgt // R))
+        src, tgt = src[order], tgt[order]
 
     num_blocks = max(1, -(-num_tgt // R))
     blocks = tgt // R if num_edges else np.zeros(0, np.int32)

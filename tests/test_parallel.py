@@ -1,0 +1,117 @@
+"""Multi-device sharding tests on the 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+Checks (SURVEY.md §4c): the sharded train step compiles, executes, and
+matches the single-device step numerically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+from sagnn_tpu.data.graph import compile_interval_graphs
+from sagnn_tpu.data.sampler import Sampler
+from sagnn_tpu.data.synthetic import synthetic_dataset
+from sagnn_tpu.models.selfgnn import SelfGNN
+from sagnn_tpu.parallel.distributed import (
+    init_sharded_state, make_sharded_train_step, shard_inputs,
+)
+from sagnn_tpu.parallel.mesh import make_mesh
+from sagnn_tpu.parallel.sharding import ShardingRules, param_shardings
+from sagnn_tpu.train.trainer import graphs_to_device, make_optimizer, \
+    make_train_step
+
+CFG = Config(
+    model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                      num_heads=4, ssldim=8, pos_length=16, keep_rate=1.0),
+    train=TrainConfig(batch=16, samp_num=4, ssl_num=2, trn_num=32,
+                      test_size=10),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = synthetic_dataset(num_users=64, num_items=96, graph_num=2,
+                               test_size=10, seed=1)
+    model = SelfGNN(CFG.model, bundle.num_users, bundle.num_items)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=64)
+    graphs = graphs_to_device(gb)
+    sampler = Sampler(bundle=bundle, batch=16, samp_num=4, ssl_num=2,
+                      pred_num=5, pos_length=16, test_size=10, seed=3,
+                      backend="numpy")
+    batch = sampler.train_batch(sampler.epoch_user_ids(16))
+    return bundle, model, graphs, batch
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.size == 8
+    m2 = make_mesh(data=4, model=2)
+    assert dict(zip(m2.axis_names, m2.devices.shape)) == {
+        "data": 4, "model": 2}
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_step_matches_single_device(setup, shape):
+    bundle, model, graphs, batch = setup
+    optimizer = make_optimizer(CFG)
+    step = make_train_step(model, optimizer, CFG.train.reg,
+                           CFG.train.ssl_reg)
+
+    # single device reference
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = {"params": params, "opt_state": optimizer.init(params),
+              "step": jnp.zeros((), jnp.int32)}
+    rng = jax.random.PRNGKey(7)
+    state1, stats1 = jax.jit(step)(state0, graphs, batch, rng)
+
+    # sharded
+    # compare raw gradients (post-Adam params amplify reduction-order noise
+    # on near-zero grads to a full step size, so they aren't comparable)
+    from sagnn_tpu.models.selfgnn import reg_loss as _rl
+
+    def loss_fn(params, graphs):
+        pre, ssl, _ = model.train_losses(params, graphs, batch, None)
+        return pre + CFG.train.reg * _rl(params) + CFG.train.ssl_reg * ssl
+
+    g_single = jax.jit(jax.grad(loss_fn))(params, graphs)
+
+    mesh = make_mesh(data=shape[0], model=shape[1])
+    rules = ShardingRules(mesh)
+    with mesh:
+        sh_state = init_sharded_state(rules, model, optimizer,
+                                      jax.random.PRNGKey(0))
+        g2, b2 = shard_inputs(rules, graphs, batch)
+        # grads BEFORE the step: the step donates sh_state
+        g_shard = jax.jit(jax.grad(loss_fn))(sh_state["params"], g2)
+        sh_step = make_sharded_train_step(rules, model, optimizer, CFG)
+        state2, stats2 = sh_step(sh_state, g2, b2, rng)
+        jax.block_until_ready(stats2)
+
+    np.testing.assert_allclose(float(stats1["loss"]), float(stats2["loss"]),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_shard)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_param_shardings_cover_tables(setup):
+    bundle, model, _, _ = setup
+    mesh = make_mesh(data=4, model=2)
+    rules = ShardingRules(mesh)
+    abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    sh = param_shardings(rules, abstract)
+    spec_u = sh["reg"]["u_embed"].spec
+    assert spec_u == jax.sharding.PartitionSpec(None, "model", None)
+    assert sh["reg"]["meta2_w"].spec == jax.sharding.PartitionSpec()
+
+
+def test_dryrun_entrypoints():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out))
+    ge.dryrun_multichip(8)
