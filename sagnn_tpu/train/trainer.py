@@ -144,26 +144,50 @@ class Trainer:
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, verbose: bool = True) -> Dict[str, float]:
+        """One epoch with host/device overlap: batch i+1 is sampled (numpy/
+        C++, GIL released) while step i runs on device — the reference
+        serializes sampling and sess.run (model.py:349-373)."""
+        import concurrent.futures
+
         cfg = self.cfg
         ids = self.sampler.epoch_user_ids(cfg.train.trn_num)
         steps = int(np.ceil(len(ids) / cfg.train.batch))
         epoch_loss = epoch_pre = 0.0
-        for i in range(steps):
+
+        def sample(i):
             bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
-            batch = self.sampler.train_batch(bat)
-            self.rng, key = jax.random.split(self.rng)
-            self.step_timer.tic()
-            self.state, stats = self._train_step(self.state, self.graphs,
-                                                 batch, key)
-            stats = {k: float(v) for k, v in stats.items()}
-            self.step_timer.toc()
-            epoch_loss += stats["loss"]
-            epoch_pre += stats["preLoss"]
-            if verbose:
-                log(f"Step {i}/{steps}: preloss = {stats['preLoss']:.2f}, "
-                    f"REGLoss = {stats['regLoss']:.2f}         ",
-                    save=False, oneline=True)
+            return self.sampler.train_batch(bat)
+
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            nxt = pool.submit(sample, 0)
+            for i in range(steps):
+                batch = nxt.result()
+                if i + 1 < steps:
+                    nxt = pool.submit(sample, i + 1)
+                self.rng, key = jax.random.split(self.rng)
+                self.step_timer.tic()
+                self.state, stats = self._train_step(self.state, self.graphs,
+                                                     batch, key)
+                stats = {k: float(v) for k, v in stats.items()}
+                self.step_timer.toc()
+                epoch_loss += stats["loss"]
+                epoch_pre += stats["preLoss"]
+                if verbose:
+                    log(f"Step {i}/{steps}: preloss = "
+                        f"{stats['preLoss']:.2f}, "
+                        f"REGLoss = {stats['regLoss']:.2f}         ",
+                        save=False, oneline=True)
         return {"Loss": epoch_loss / steps, "preLoss": epoch_pre / steps}
+
+    def throughput_stats(self) -> Dict[str, float]:
+        """Step-time and propagation edges/s observability (SURVEY.md §5)."""
+        mean = self.step_timer.mean
+        return {
+            "step_ms_mean": mean * 1e3,
+            "step_ms_p50": self.step_timer.percentile(50) * 1e3,
+            "step_ms_p95": self.step_timer.percentile(95) * 1e3,
+            "edges_per_sec": self.edges_per_step / mean if mean else 0.0,
+        }
 
     def test_epoch(self) -> Dict[str, float]:
         cfg = self.cfg
