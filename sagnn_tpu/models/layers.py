@@ -59,6 +59,46 @@ def activate(x: jax.Array, method: str, leaky: float = 0.1) -> jax.Array:
     raise ValueError(f"Error Activation Function: {method}")
 
 
+def batch_norm(x: jax.Array, scale: jax.Array, shift: jax.Array,
+               ema_mean: jax.Array, ema_var: jax.Array, train: bool,
+               decay: float = 0.5, eps: float = 1e-8):
+    """Batch normalization matching NNLayers.BN (80-96): batch moments over
+    axis 0 with an EMA (decay 0.5). DEAD in the reference's live path (FC is
+    never called with useBN=True) — provided for layer-library completeness.
+    Returns (y, new_ema_mean, new_ema_var)."""
+    if train:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        new_mean = decay * ema_mean + (1 - decay) * mean
+        new_var = decay * ema_var + (1 - decay) * var
+    else:
+        mean, var = ema_mean, ema_var
+        new_mean, new_var = ema_mean, ema_var
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + shift
+    return y, new_mean, new_var
+
+
+def dropout(key: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+    """Inverted dropout matching tf.nn.dropout (NNLayers.Dropout, 177-181)."""
+    if rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def fc(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+       activation: str | None = None, leaky: float = 0.1) -> jax.Array:
+    """Dense layer matching NNLayers.FC (98-115): matmul + optional bias +
+    activation."""
+    y = x @ w
+    if b is not None:
+        y = y + b
+    if activation is not None:
+        y = activate(y, activation, leaky)
+    return y
+
+
 def l2_sum(tree) -> jax.Array:
     """Σ ||p||² over a pytree (NNLayers.Regularize method='L2', 168-174)."""
     leaves = jax.tree_util.tree_leaves(tree)

@@ -229,13 +229,32 @@ def _temporal_fusion(params: Dict, user_vec: jnp.ndarray,
 def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
                      seq: jnp.ndarray, seq_mask: jnp.ndarray,
                      cfg: ModelConfig) -> jnp.ndarray:
-    """Pooled sequence branch (model.py:158-167, quirk Q3).
-
-    The mask-matmul collapses the sequence to ONE token [B, 1, D] before the
-    attention stack; replicated exactly for parity. Returns att_user [B, D].
-    """
+    """Sequence branch. Parity mode (default) replicates quirk Q3
+    (model.py:158-167): the mask-matmul collapses the sequence to ONE token
+    [B, 1, D] before the attention stack. With
+    cfg.per_token_seq_attention=True, true per-token masked self-attention
+    over the [B, L, D] sequence runs instead (the non-parity "fixed"
+    variant). Returns att_user [B, D]."""
     free = params["free"]
     seq_emb = jnp.take(item_att_emb, seq, axis=0)          # [B, L, D]
+
+    if cfg.per_token_seq_attention:
+        pos = jnp.broadcast_to(params["reg"]["pos_embed"][None],
+                               seq_emb.shape)
+        x = layer_norm(seq_emb, free["seq_ln_item"]["scale"],
+                       free["seq_ln_item"]["shift"])
+        x = x + layer_norm(pos, free["seq_ln_pos"]["scale"],
+                           free["seq_ln_pos"]["shift"])
+        x = x * seq_mask[:, :, None]
+        for i in range(cfg.att_layer):
+            ln = free["seq_ln"][i]
+            h = multi_head_self_attention(
+                free["seq_mhsa"][i],
+                layer_norm(x, ln["scale"], ln["shift"]),
+                cfg.num_heads, stable=True, mask=seq_mask)
+            x = leaky_relu(h, cfg.leaky) + x
+        return jnp.sum(x * seq_mask[:, :, None], axis=1)   # [B, D]
+
     pooled_items = jnp.einsum("bl,bld->bd", seq_mask, seq_emb)[:, None, :]
     pooled_pos = jnp.einsum(
         "bl,ld->bd", seq_mask, params["reg"]["pos_embed"])[:, None, :]

@@ -41,8 +41,14 @@ def init_mhsa_params(key: jax.Array, d_model: int) -> Dict[str, jax.Array]:
 
 def multi_head_self_attention(params: Dict[str, jax.Array], x: jax.Array,
                               num_heads: int,
-                              stable: bool = False) -> jax.Array:
-    """x: [B, T, D] -> [B, T, D] (ref MultiHeadSelfAttention.attention)."""
+                              stable: bool = False,
+                              mask: jax.Array | None = None) -> jax.Array:
+    """x: [B, T, D] -> [B, T, D] (ref MultiHeadSelfAttention.attention).
+
+    mask: optional [B, T] key-validity mask (1=valid). The reference's exp
+    path multiplies raw scores by the mask (attention.py:40-41); the stable
+    path adds -inf to masked logits.
+    """
     B, T, D = x.shape
     dk = D // num_heads
     xf = x.astype(jnp.float32)
@@ -58,13 +64,42 @@ def multi_head_self_attention(params: Dict[str, jax.Array], x: jax.Array,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.float32(dk))
     if stable:
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
         attn = jax.nn.softmax(logits, axis=-1)
     else:
         scores = jnp.exp(logits)  # attention.py:39
+        if mask is not None:
+            scores = scores * mask[:, None, None, :]  # attention.py:40-41
         attn = scores / (jnp.sum(scores, axis=-1, keepdims=True) + 1e-8)
     ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v,
                      preferred_element_type=jnp.float32)
     return ctx.transpose(0, 2, 1, 3).reshape(B, T, D).astype(x.dtype)
+
+
+def init_additive_attention_params(key: jax.Array, query_dim: int,
+                                   cand_dim: int) -> Dict[str, jax.Array]:
+    """AdditiveAttention (Utils/attention.py:4-29): dense to query_dim, tanh,
+    dot with a query vector, softmax-weighted pooling. The reference draws
+    the query vector as a NON-trainable uniform(-0.1, 0.1) tensor
+    (attention.py:9); kept as a param here (initialized identically).
+    Instantiated but dead in the reference model (model.py:147-148, 168)."""
+    kd, kq = jax.random.split(key)
+    return {
+        "w": xavier_uniform(kd, (cand_dim, query_dim)),
+        "b": jnp.zeros((query_dim,)),
+        "query": jax.random.uniform(kq, (query_dim, 1), minval=-0.1,
+                                    maxval=0.1),
+    }
+
+
+def additive_attention(params: Dict[str, jax.Array],
+                       candidates: jax.Array) -> jax.Array:
+    """candidates: [B, T, D] -> pooled [B, D]."""
+    temp = jnp.tanh(candidates @ params["w"] + params["b"])   # [B, T, Q]
+    weights = jax.nn.softmax(
+        jnp.squeeze(temp @ params["query"], -1), axis=1)       # [B, T]
+    return jnp.einsum("bt,btd->bd", weights, candidates)
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, shift: jax.Array,

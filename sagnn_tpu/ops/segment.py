@@ -44,3 +44,14 @@ def propagate(src_emb: jax.Array, src: jax.Array, tgt: jax.Array,
     """One reference propagation hop incl. the leaky-relu (model.py:92)."""
     agg = gather_segment_sum(src_emb, src, tgt, num_tgt, weights)
     return jnp.maximum(leaky * agg, agg)
+
+
+def edge_dropout_weights(key: jax.Array, num_edges: int, keep_rate: float,
+                         base: jax.Array | None = None) -> jax.Array:
+    """FUNCTIONAL edge dropout for the non-parity variant: Bernoulli edge
+    mask scaled by 1/keep (what the reference's edgeDropout MEANT to do
+    before the int cast + value-ignoring propagation neutered it — SURVEY.md
+    Q1, model.py:93-102). Returns [E] weights to pass to `propagate`."""
+    mask = jax.random.bernoulli(key, keep_rate, (num_edges,))
+    w = mask.astype(jnp.float32) / keep_rate
+    return w if base is None else w * base

@@ -1,0 +1,128 @@
+"""Explicitly edge-partitioned distributed SpMM via shard_map.
+
+The GSPMD path (parallel/sharding.py) lets XLA choose collectives. This
+module is the hand-laid-out alternative for large graphs (SURVEY.md §2.2
+"graph/edge partitioning" row): each device owns
+
+  * a row shard of the SOURCE node table  [N_src/P, D]
+  * the edge partition whose TARGETS fall in its target-row range,
+    stored with target ids local to the shard
+
+and one propagation hop is:
+
+  x_full = all_gather(x_shard, 'model')        # boundary embedding exchange
+  out_shard = segment_sum(x_full[src_local_edges], tgt_local)   # local SpMM
+
+The all-gather rides ICI; its transpose (reduce-scatter) appears
+automatically in the backward pass through shard_map's AD. Target-dimension
+padding makes every shard identical in shape, so the whole hop is one SPMD
+program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class EdgePartitions:
+    """Per-shard edge lists with shard-local target ids.
+
+    src: [P, E_shard] global source ids (pad 0)
+    tgt_local: [P, E_shard] target id within the shard (pad = rows_per_shard),
+               sorted ascending per shard
+    rows_per_shard: padded target rows each shard owns
+    num_tgt: true global target count
+    """
+
+    src: np.ndarray
+    tgt_local: np.ndarray
+    rows_per_shard: int
+    num_tgt: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.src.shape[0]
+
+
+def partition_edges_by_target(src: np.ndarray, tgt: np.ndarray,
+                              num_tgt: int, num_shards: int,
+                              pad_multiple: int = 128) -> EdgePartitions:
+    """Split target-sorted edges into `num_shards` row partitions."""
+    src = np.asarray(src, np.int32)
+    tgt = np.asarray(tgt, np.int32)
+    n = int(np.searchsorted(tgt, num_tgt))  # drop trailing padding
+    src, tgt = src[:n], tgt[:n]
+    rows = _round_up(-(-num_tgt // num_shards), 8)
+    bounds = np.searchsorted(tgt, np.arange(num_shards + 1) * rows)
+    counts = np.diff(bounds)
+    e_shard = max(pad_multiple,
+                  _round_up(int(counts.max(initial=1)), pad_multiple))
+    out_src = np.zeros((num_shards, e_shard), np.int32)
+    out_tgt = np.full((num_shards, e_shard), rows, np.int32)
+    for p in range(num_shards):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        out_src[p, : hi - lo] = src[lo:hi]
+        out_tgt[p, : hi - lo] = tgt[lo:hi] - p * rows
+    return EdgePartitions(src=out_src, tgt_local=out_tgt,
+                          rows_per_shard=rows, num_tgt=num_tgt)
+
+
+def pad_node_table(x: np.ndarray, num_shards: int) -> np.ndarray:
+    """Pad node rows so the table splits evenly over shards."""
+    n = x.shape[0]
+    target = _round_up(-(-n // num_shards), 1) * num_shards
+    target = _round_up(n, num_shards)
+    if target == n:
+        return x
+    return np.concatenate(
+        [x, np.zeros((target - n,) + x.shape[1:], x.dtype)])
+
+
+def edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
+                          parts: EdgePartitions,
+                          axis: str = "model") -> jax.Array:
+    """One distributed hop: out[t] = Σ_{e: tgt[e]=t} x[src[e]].
+
+    x_sharded: [N_src_padded, D] laid out P(axis, None) over the mesh —
+    N_src_padded must divide by the axis size. Returns [P*rows, D] laid out
+    P(axis, None); slice [:num_tgt] for the true rows.
+    """
+    rows = parts.rows_per_shard
+    src = jnp.asarray(parts.src)
+    tgt_local = jnp.asarray(parts.tgt_local)
+
+    def local_hop(x_shard, src_p, tgt_p):
+        # boundary exchange: gather every shard's source rows over ICI
+        x_full = jax.lax.all_gather(x_shard, axis, tiled=True)
+        msgs = jnp.take(x_full, src_p[0], axis=0)
+        agg = jax.ops.segment_sum(msgs, tgt_p[0], num_segments=rows + 1,
+                                  indices_are_sorted=True)
+        return agg[:rows]
+
+    fn = shard_map(
+        local_hop, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    return fn(x_sharded, src, tgt_local)
+
+
+def edge_partitioned_propagate(mesh: Mesh, x: jax.Array,
+                               parts: EdgePartitions, leaky: float,
+                               axis: str = "model") -> jax.Array:
+    """Hop + leaky-relu, sliced to the true target count."""
+    out = edge_partitioned_spmm(mesh, x, parts, axis)
+    out = out[: parts.num_tgt]
+    return jnp.maximum(leaky * out, out)
