@@ -34,6 +34,8 @@ def synthetic_dataset(
     test_size: int = 20,
     alpha: float = 1.05,
     seed: int = 0,
+    num_clusters: int = 8,
+    cluster_strength: float = 0.8,
 ) -> DatasetBundle:
     """Generate a DatasetBundle with the reference's data invariants:
 
@@ -42,15 +44,33 @@ def synthetic_dataset(
     - interval matrices cover TRAIN interactions split into `graph_num`
       equal time spans
     - `test_dict` holds `test_size - 1` negatives, 1-indexed (SURVEY.md Q8)
+
+    Interactions follow a latent-cluster preference model (each user belongs
+    to a cluster drawing `cluster_strength` of its items from the cluster's
+    item block, zipf-popularity within block) so that ranking the held-out
+    positive against popularity-sampled negatives is LEARNABLE — pure
+    popularity sampling would make HR@K equal to chance.
     """
     rng = np.random.default_rng(seed)
     probs = _zipf_item_probs(num_items, alpha, rng)
+    # cluster-conditional item distributions
+    item_cluster = rng.integers(0, num_clusters, size=num_items)
+    cluster_probs = []
+    for c in range(num_clusters):
+        inb = item_cluster == c
+        p = probs * np.where(inb, cluster_strength / max(probs[inb].sum(),
+                                                         1e-12),
+                             (1 - cluster_strength)
+                             / max(probs[~inb].sum(), 1e-12))
+        cluster_probs.append(p / p.sum())
 
     sequences: List[List[int]] = []
     times: List[np.ndarray] = []
-    for _ in range(num_users):
+    user_cluster = rng.integers(0, num_clusters, size=num_users)
+    for u in range(num_users):
         n = int(rng.integers(seq_len_range[0], seq_len_range[1] + 1))
-        items = rng.choice(num_items, size=n, replace=False, p=probs)
+        p = cluster_probs[user_cluster[u]]
+        items = rng.choice(num_items, size=n, replace=False, p=p)
         t = np.sort(rng.integers(0, 10_000, size=n))
         sequences.append(items.tolist())
         times.append(t)

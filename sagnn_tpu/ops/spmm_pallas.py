@@ -39,7 +39,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows per output block (one-hot width — MXU lane dim) and edges per chunk.
+# Rows per output block (one-hot width — MXU lane dim) and default edges
+# per chunk (tunable: larger chunks amortize per-grid-step overhead, smaller
+# ones waste less padding on sparse target blocks).
 R = 128
 C = 1024
 
@@ -72,7 +74,8 @@ class SpmmPlan:
 def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
               num_edges: int | None = None,
               num_chunks: int | None = None,
-              sort_sources: bool = True) -> SpmmPlan:
+              sort_sources: bool = True,
+              chunk_size: int = C) -> SpmmPlan:
     """Build the chunk schedule from target-sorted COO edges.
 
     `src`/`tgt` may carry padding at the end (tgt == num_tgt), which is
@@ -99,20 +102,21 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
     # least one chunk — empty blocks get an all-padding chunk whose
     # chunk_first=1 zeroes the output tile (otherwise it would be read back
     # uninitialized from VMEM).
+    CS = chunk_size
     chunks_src, chunks_tl, chunk_block, chunk_first = [], [], [], []
     bounds = np.searchsorted(blocks, np.arange(num_blocks + 1))
     for b in range(num_blocks):
         start, end = int(bounds[b]), int(bounds[b + 1])
         if start == end:
-            chunks_src.append(np.zeros(C, np.int32))
-            chunks_tl.append(np.full(C, R, np.int32))
+            chunks_src.append(np.zeros(CS, np.int32))
+            chunks_tl.append(np.full(CS, R, np.int32))
             chunk_block.append(b)
             chunk_first.append(1)
             continue
-        for cs in range(start, end, C):
-            ce = min(cs + C, end)
-            s = np.zeros(C, np.int32)
-            tl = np.full(C, R, np.int32)
+        for cs in range(start, end, CS):
+            ce = min(cs + CS, end)
+            s = np.zeros(CS, np.int32)
+            tl = np.full(CS, R, np.int32)
             s[: ce - cs] = src[cs:ce]
             tl[: ce - cs] = tgt[cs:ce] - b * R
             chunks_src.append(s)
@@ -124,8 +128,8 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
     target_nc = num_chunks or max(1, nc)
     assert nc <= target_nc, f"plan needs {nc} chunks > padded {target_nc}"
     for _ in range(target_nc - nc):
-        chunks_src.append(np.zeros(C, np.int32))
-        chunks_tl.append(np.full(C, R, np.int32))
+        chunks_src.append(np.zeros(CS, np.int32))
+        chunks_tl.append(np.full(CS, R, np.int32))
         chunk_block.append(num_blocks)  # dump block
         chunk_first.append(1)
 
@@ -155,7 +159,7 @@ def _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, *,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     tl = tl_ref[0]                                    # [1, C] int32
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, tl.shape[-1]), 0)
     oh_t = (tl == rows).astype(msg_ref.dtype)         # [R, C] transposed 1-hot
     out_ref[:] += jax.lax.dot_general(
         oh_t, msg_ref[:],
@@ -171,16 +175,17 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                    num_blocks: int, exact: bool = True) -> jax.Array:
     """messages: [NC*C, D] chunk-ordered; returns [(num_blocks+1)*R, D]."""
     nc = tgt_local.shape[0]
+    cs = tgt_local.shape[-1]
     d = messages.shape[-1]
-    tgt_local = tgt_local.reshape(nc, 1, C)
+    tgt_local = tgt_local.reshape(nc, 1, cs)
     # fuse (first|block) into one prefetch array: block in low bits
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # chunk_first, chunk_block (block used in maps)
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, 1, C), lambda c, first, blk: (c, 0, 0),
+            pl.BlockSpec((1, 1, cs), lambda c, first, blk: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, d), lambda c, first, blk: (c, 0),
+            pl.BlockSpec((cs, d), lambda c, first, blk: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, d), lambda c, first, blk: (blk[c], 0),
@@ -194,8 +199,9 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
         out_shape=jax.ShapeDtypeStruct(((num_blocks + 1) * R, d),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nc * C * R * d,
-            bytes_accessed=nc * C * (d * 4 + 4) + (num_blocks + 1) * R * d * 4,
+            flops=2 * nc * cs * R * d,
+            bytes_accessed=nc * cs * (d * 4 + 4)
+            + (num_blocks + 1) * R * d * 4,
             transcendentals=0,
         ),
     )(chunk_first, chunk_block, tgt_local, messages)
@@ -318,10 +324,11 @@ def plan_spmm_repad(p: SpmmPlan, num_chunks: int) -> SpmmPlan:
     """Pad an existing plan with extra dump-block chunks."""
     extra = num_chunks - p.num_chunks
     assert extra >= 0
+    cs = p.tgt_local.shape[-1]
     return SpmmPlan(
-        src=np.concatenate([p.src, np.zeros(extra * C, np.int32)]),
+        src=np.concatenate([p.src, np.zeros(extra * cs, np.int32)]),
         tgt_local=np.concatenate(
-            [p.tgt_local, np.full((extra, C), R, np.int32)]),
+            [p.tgt_local, np.full((extra, cs), R, np.int32)]),
         chunk_block=np.concatenate(
             [p.chunk_block, np.full(extra, p.num_blocks, np.int32)]),
         chunk_first=np.concatenate(

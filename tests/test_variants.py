@@ -1,0 +1,122 @@
+"""Tests for non-parity variants and library-completeness components:
+per-token sequence attention, masked MHSA, additive attention, batch norm,
+functional edge dropout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sagnn_tpu.config import ModelConfig
+from sagnn_tpu.data.graph import compile_interval_graphs
+from sagnn_tpu.data.synthetic import synthetic_dataset
+from sagnn_tpu.models.layers import batch_norm, dropout, fc
+from sagnn_tpu.models.selfgnn import SelfGNN
+from sagnn_tpu.ops.attention import (
+    additive_attention, init_additive_attention_params,
+    init_mhsa_params, multi_head_self_attention,
+)
+from sagnn_tpu.ops.segment import edge_dropout_weights, propagate
+from sagnn_tpu.train.trainer import graphs_to_device
+
+
+def test_masked_mhsa_ignores_masked_keys():
+    rng = np.random.RandomState(0)
+    B, T, D, H = 3, 6, 16, 4
+    p = init_mhsa_params(jax.random.PRNGKey(0), D)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0]] * B, np.float32))
+    # changing masked positions must not change unmasked outputs
+    x2 = x.at[:, 3:].set(99.0)
+    for stable in (False, True):
+        o1 = multi_head_self_attention(p, x, 4, stable=stable, mask=mask)
+        o2 = multi_head_self_attention(p, x2, 4, stable=stable, mask=mask)
+        np.testing.assert_allclose(np.asarray(o1[:, :3]),
+                                   np.asarray(o2[:, :3]), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_additive_attention_pools():
+    rng = np.random.RandomState(1)
+    B, T, D, Q = 4, 5, 8, 6
+    p = init_additive_attention_params(jax.random.PRNGKey(1), Q, D)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    out = additive_attention(p, x)
+    assert out.shape == (B, D)
+    # weights sum to 1: pooled output within the convex hull of inputs
+    assert float(jnp.abs(out).max()) <= float(jnp.abs(x).max()) + 1e-5
+
+
+def test_batch_norm_train_and_eval():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(64, 8).astype(np.float32) * 3 + 1)
+    scale = jnp.ones(8)
+    shift = jnp.zeros(8)
+    y, m, v = batch_norm(x, scale, shift, jnp.zeros(8), jnp.ones(8),
+                         train=True)
+    assert abs(float(y.mean())) < 1e-3
+    # eval path uses the EMA stats
+    y2, m2, v2 = batch_norm(x, scale, shift, m, v, train=False)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+
+
+def test_dropout_scaling():
+    x = jnp.ones((1000, 4))
+    y = dropout(jax.random.PRNGKey(0), x, rate=0.5)
+    zeros = np.asarray(y) == 0
+    assert 0.4 < zeros.mean() < 0.6
+    nz = np.asarray(y)[~zeros]
+    np.testing.assert_allclose(nz, 2.0)
+
+
+def test_fc_matches_manual():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(5, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    y = fc(x, w, b, activation="leakyRelu", leaky=0.5)
+    ref = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    ref = np.maximum(0.5 * ref, ref)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_edge_dropout_weights():
+    w = edge_dropout_weights(jax.random.PRNGKey(0), 10000, keep_rate=0.8)
+    nz = np.asarray(w) > 0
+    assert 0.75 < nz.mean() < 0.85
+    np.testing.assert_allclose(np.asarray(w)[nz], 1.0 / 0.8, rtol=1e-6)
+    # weighted propagate drops those edges' messages
+    import scipy.sparse as sp
+    rng = np.random.RandomState(4)
+    U, I, D, E = 50, 40, 8, 300
+    tgt = np.sort(rng.randint(0, U, E)).astype(np.int32)
+    src = rng.randint(0, I, E).astype(np.int32)
+    x = jnp.asarray(rng.randn(I, D).astype(np.float32))
+    w = edge_dropout_weights(jax.random.PRNGKey(1), E, keep_rate=0.5)
+    out = propagate(x, jnp.asarray(src), jnp.asarray(tgt), U, leaky=1.0,
+                    weights=w)
+    expect = np.zeros((U, D), np.float32)
+    wn = np.asarray(w)
+    for e in range(E):
+        expect[tgt[e]] += wn[e] * np.asarray(x)[src[e]]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_per_token_sequence_branch_runs_and_differs():
+    bundle = synthetic_dataset(num_users=24, num_items=40, graph_num=2,
+                               seed=7)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    base = dict(graph_num=2, gnn_layer=1, att_layer=2, latdim=16,
+                num_heads=4, ssldim=8, pos_length=10)
+    m_pool = SelfGNN(ModelConfig(**base), 24, 40)
+    m_tok = SelfGNN(ModelConfig(**base, per_token_seq_attention=True), 24, 40)
+    params = m_pool.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    uids = jnp.asarray(rng.randint(0, 24, 6).astype(np.int32))
+    cand = jnp.asarray(rng.randint(0, 40, (6, 5)).astype(np.int32))
+    seq = jnp.asarray(rng.randint(0, 40, (6, 10)).astype(np.int32))
+    mask = jnp.asarray((rng.rand(6, 10) > 0.3).astype(np.float32))
+    s_pool = m_pool.score_candidates(params, graphs, uids, cand, seq, mask)
+    s_tok = m_tok.score_candidates(params, graphs, uids, cand, seq, mask)
+    assert np.isfinite(np.asarray(s_tok)).all()
+    assert not np.allclose(np.asarray(s_pool), np.asarray(s_tok))
