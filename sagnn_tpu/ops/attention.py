@@ -68,9 +68,12 @@ def multi_head_self_attention(params: Dict[str, jax.Array], x: jax.Array,
             logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
         attn = jax.nn.softmax(logits, axis=-1)
     else:
-        scores = jnp.exp(logits)  # attention.py:39
         if mask is not None:
-            scores = scores * mask[:, None, None, :]  # attention.py:40-41
+            # mask logits BEFORE the exp (exp(big)*0 would give NaN; the
+            # reference multiplies after exp, attention.py:40-41, but never
+            # actually passes masks)
+            logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
+        scores = jnp.exp(logits)  # attention.py:39
         attn = scores / (jnp.sum(scores, axis=-1, keepdims=True) + 1e-8)
     ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v,
                      preferred_element_type=jnp.float32)
