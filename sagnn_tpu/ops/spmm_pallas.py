@@ -75,7 +75,8 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
               num_edges: int | None = None,
               num_chunks: int | None = None,
               sort_sources: bool = True,
-              chunk_size: int = C) -> SpmmPlan:
+              chunk_size: int = C,
+              num_slices: int = 1) -> SpmmPlan:
     """Build the chunk schedule from target-sorted COO edges.
 
     `src`/`tgt` may carry padding at the end (tgt == num_tgt), which is
@@ -127,11 +128,22 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
     nc = len(chunk_block)
     target_nc = num_chunks or max(1, nc)
     assert nc <= target_nc, f"plan needs {nc} chunks > padded {target_nc}"
+    if num_slices > 1:
+        target_nc = -(-target_nc // num_slices) * num_slices
     for _ in range(target_nc - nc):
         chunks_src.append(np.zeros(CS, np.int32))
         chunks_tl.append(np.full(CS, R, np.int32))
         chunk_block.append(num_blocks)  # dump block
         chunk_first.append(1)
+
+    if num_slices > 1:
+        # out-of-core slicing (spmm_apply num_slices>1 runs one pallas call
+        # per slice and SUMS the partial outputs): the first chunk of every
+        # slice must zero its block so each slice computes an independent
+        # partial sum for blocks spanning a slice boundary.
+        per = target_nc // num_slices
+        for s in range(num_slices):
+            chunk_first[s * per] = 1
 
     return SpmmPlan(
         src=np.concatenate(chunks_src).astype(np.int32),
@@ -141,6 +153,14 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
         num_blocks=num_blocks,
         num_tgt=num_tgt,
     )
+
+
+def _segsum_kernel_init(first_ref, blk_ref, tl_ref, msg_ref, init_ref,
+                        out_ref, *, exact: bool):
+    """Variant with an aliased zero-initialized output (sliced path): blocks
+    a slice never visits keep the zeros of the aliased input."""
+    del init_ref  # aliased to out — only its initial contents matter
+    _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, exact=exact)
 
 
 def _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, *,
@@ -172,57 +192,98 @@ def _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, *,
 
 def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                    chunk_block: jax.Array, chunk_first: jax.Array,
-                   num_blocks: int, exact: bool = True) -> jax.Array:
-    """messages: [NC*C, D] chunk-ordered; returns [(num_blocks+1)*R, D]."""
+                   num_blocks: int, exact: bool = True,
+                   zero_init: bool = False) -> jax.Array:
+    """messages: [NC*C, D] chunk-ordered; returns [(num_blocks+1)*R, D].
+
+    zero_init=True aliases the output to a fresh zeros buffer so blocks this
+    call never visits read back as zero (required by the sliced path, where
+    a slice touches only a subset of blocks).
+    """
     nc = tgt_local.shape[0]
     cs = tgt_local.shape[-1]
     d = messages.shape[-1]
     tgt_local = tgt_local.reshape(nc, 1, cs)
-    # fuse (first|block) into one prefetch array: block in low bits
+    out_rows = (num_blocks + 1) * R
+    in_specs = [
+        pl.BlockSpec((1, 1, cs), lambda c, first, blk: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cs, d), lambda c, first, blk: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [chunk_first, chunk_block, tgt_local, messages]
+    kernel = _segsum_kernel
+    aliases = {}
+    if zero_init:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(jnp.zeros((out_rows, d), jnp.float32))
+        kernel = _segsum_kernel_init
+        aliases = {4: 0}  # zeros input (after 2 prefetch + 2 tensor) -> out
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # chunk_first, chunk_block (block used in maps)
+        num_scalar_prefetch=2,   # chunk_first, chunk_block (used in maps)
         grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cs), lambda c, first, blk: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cs, d), lambda c, first, blk: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((R, d), lambda c, first, blk: (blk[c], 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, exact=exact),
+        functools.partial(kernel, exact=exact),
         grid_spec=grid_spec,
         # CPU (tests, CI meshes) runs the kernel in interpreter mode
         interpret=jax.default_backend() == "cpu",
-        out_shape=jax.ShapeDtypeStruct(((num_blocks + 1) * R, d),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * nc * cs * R * d,
             bytes_accessed=nc * cs * (d * 4 + 4)
             + (num_blocks + 1) * R * d * 4,
             transcendentals=0,
         ),
-    )(chunk_first, chunk_block, tgt_local, messages)
+    )(*inputs)
     return out
 
 
 def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
                chunk_block: jax.Array, chunk_first: jax.Array,
                num_blocks: int, num_tgt: int,
-               exact: bool = True) -> jax.Array:
+               exact: bool = True, num_slices: int = 1) -> jax.Array:
     """out[t] = Σ_{e: tgt[e]=t} x[src[e]] — XLA gather + Pallas segsum.
 
     exact=False is the throughput path: the node table is cast to bf16
     BEFORE the gather, halving the dominant random-read+stream traffic of
     the [E, D] message stream; accumulation stays f32 in the kernel.
+
+    num_slices>1 is the out-of-core path for huge graphs: only one slice's
+    message stream is live at a time (a lax.scan over slices sums partial
+    outputs). The plan MUST have been built with the same num_slices so
+    slice-leading chunks re-zero their blocks.
     """
     if not exact:
         x = x.astype(jnp.bfloat16)
-    messages = jnp.take(x, src, axis=0)  # [NC*C, D], bandwidth-bound
-    out = _segsum_pallas(messages, tgt_local, chunk_block, chunk_first,
-                         num_blocks, exact=exact)
+    if num_slices == 1:
+        messages = jnp.take(x, src, axis=0)  # [NC*C, D], bandwidth-bound
+        out = _segsum_pallas(messages, tgt_local, chunk_block, chunk_first,
+                             num_blocks, exact=exact)
+        return out[:num_tgt]
+
+    nc = tgt_local.shape[0]
+    cs = tgt_local.shape[-1]
+    assert nc % num_slices == 0, (nc, num_slices)
+    per = nc // num_slices
+    xs = (src.reshape(num_slices, per * cs),
+          tgt_local.reshape(num_slices, per, cs),
+          chunk_block.reshape(num_slices, per),
+          chunk_first.reshape(num_slices, per))
+
+    def body(acc, sl):
+        s, tl, cb, cf = sl
+        messages = jnp.take(x, s, axis=0)
+        out = _segsum_pallas(messages, tl, cb, cf, num_blocks, exact=exact,
+                             zero_init=True)
+        return acc + out, None
+
+    init = jnp.zeros(((num_blocks + 1) * R, x.shape[-1]), jnp.float32)
+    out, _ = jax.lax.scan(body, init, xs)
     return out[:num_tgt]
 
 

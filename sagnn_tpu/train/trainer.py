@@ -215,6 +215,20 @@ class Trainer:
 
     # -- full run (ref model.py:41-71) ----------------------------------------
 
+    def install_preemption_handler(self) -> None:
+        """Save a checkpoint on SIGTERM/SIGINT before exiting (preemption
+        safety — the reference loses all progress since the last best-NDCG
+        save on eviction)."""
+        import signal
+
+        def _handler(signum, _frame):
+            log(f"signal {signum}: writing preemption checkpoint")
+            self.ckpt.save(self.state, self.history)
+            raise SystemExit(128 + signum)
+
+        signal.signal(signal.SIGTERM, _handler)
+        signal.signal(signal.SIGINT, _handler)
+
     def run(self, resume: bool = False) -> Dict[str, float]:
         cfg = self.cfg
         st_epoch = 0

@@ -79,6 +79,21 @@ def test_spmm_grad_is_transpose():
     np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-3)
 
 
+def test_sliced_spmm_matches():
+    rng = np.random.default_rng(3)
+    U, I, D, E = 700, 500, 32, 20000
+    tgt = np.sort(rng.integers(0, U, E, dtype=np.int32))
+    src = rng.integers(0, I, E, dtype=np.int32)
+    X = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    expect = np.zeros((U, D), np.float32)
+    np.add.at(expect, tgt, np.asarray(X)[src])
+    for S in (2, 4):
+        p = plan_spmm(src, tgt, U, num_slices=S)
+        out = spmm_apply(X, *_plan_args(p), num_slices=S)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                                   atol=1e-4)
+
+
 def test_model_pallas_matches_xla():
     cfg_x = ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=16,
                         num_heads=4, ssldim=8, pos_length=12, leaky=0.5,
