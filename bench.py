@@ -117,7 +117,7 @@ def main() -> None:
     nb_i = -(-NUM_ITEMS // 128)
 
     @jax.jit
-    def propagation_pallas(u_emb, i_emb):
+    def propagation_pallas(u_emb, i_emb, plans):
         def hop(x, fwd, bwd, fnb, fnt, bnb, bnt):
             agg = spmm(x, fwd, bwd, fnb, fnt, bnb, bnt, False)
             return jnp.maximum(0.5 * agg, agg)
@@ -141,7 +141,7 @@ def main() -> None:
                                    (u_emb, i_emb, plans["u"], plans["i"]))
         return uv.sum() + iv.sum()
 
-    dt_pl, _ = _time_fn(propagation_pallas, u_emb, i_emb, iters=5)
+    dt_pl, _ = _time_fn(propagation_pallas, u_emb, i_emb, plans, iters=5)
     log(f"Pallas path: {dt_pl*1e3:.2f} ms/step, "
         f"{edges_per_step/dt_pl/1e9:.3f} Gedges/s")
 

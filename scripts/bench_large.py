@@ -49,16 +49,19 @@ def main():
     print(f"plan: {time.time()-t0:.1f}s, {plan.num_chunks} chunks, "
           f"pad waste {(plan.num_chunks*plan.tgt_local.shape[-1]/args.edges - 1)*100:.0f}%",
           file=sys.stderr, flush=True)
-    pa = _plan_args(plan)
+    *arrs, nb, nt = _plan_args(plan)
 
     X = jax.random.normal(jax.random.PRNGKey(0),
                           (args.items, args.latdim), jnp.float32)
-    fn = jax.jit(lambda x: spmm_apply(x, *pa, exact=False,
-                                      num_slices=args.slices).sum())
-    v = float(fn(X))
+    # plan arrays must be jit ARGUMENTS, not closure constants — constants
+    # get baked into the compile payload (hundreds of MB at this scale)
+    fn = jax.jit(lambda x, s, tl, cb, cf: spmm_apply(
+        x, s, tl, cb, cf, nb, nt, exact=False,
+        num_slices=args.slices).sum())
+    v = float(fn(X, *arrs))
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        v = float(fn(X))
+        v = float(fn(X, *arrs))
     dt = (time.perf_counter() - t0) / args.iters
     print(f"sliced spmm: {dt*1e3:.1f} ms/hop -> "
           f"{args.edges/dt/1e9:.3f} Gedges/s (v={v:.3e})",
