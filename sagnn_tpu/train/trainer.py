@@ -81,7 +81,12 @@ class Trainer:
     """End-to-end trainer over one DatasetBundle."""
 
     def __init__(self, cfg: Config, bundle: DatasetBundle,
-                 ckpt_root: str = "./Models", pad_multiple: int = 512):
+                 ckpt_root: str = "./Models", pad_multiple: int = 512,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh ('data' × 'model'); when given,
+        params/opt-state are initialized into their shardings (TP over node
+        tables), graphs/batches are placed per parallel.sharding rules, and
+        the jitted step runs under GSPMD."""
         assert bundle.graph_num == cfg.model.graph_num, (
             f"dataset has {bundle.graph_num} interval graphs, config says "
             f"{cfg.model.graph_num}")
@@ -117,13 +122,23 @@ class Trainer:
                                * self.graph_blocks.graph_num
                                * self.graph_blocks.edges_padded)
 
+        self.mesh = mesh
         self.rng, init_key = jax.random.split(self.rng)
-        params = self.model.init(init_key)
-        self.state = {
-            "params": params,
-            "opt_state": self.optimizer.init(params),
-            "step": jnp.zeros((), jnp.int32),
-        }
+        if mesh is not None:
+            from sagnn_tpu.parallel.distributed import init_sharded_state
+            from sagnn_tpu.parallel.sharding import ShardingRules
+            self._rules = ShardingRules(mesh)
+            with mesh:
+                self.state = init_sharded_state(self._rules, self.model,
+                                                self.optimizer, init_key)
+                self.graphs = self._shard_graphs()
+        else:
+            params = self.model.init(init_key)
+            self.state = {
+                "params": params,
+                "opt_state": self.optimizer.init(params),
+                "step": jnp.zeros((), jnp.int32),
+            }
         self._train_step = jax.jit(
             make_train_step(self.model, self.optimizer, cfg.train.reg,
                             cfg.train.ssl_reg),
@@ -132,6 +147,21 @@ class Trainer:
             lambda params, graphs: self.model.encode(params, graphs,
                                                      train=False)[:2])
         self._score_eval = jax.jit(self._score_eval_impl)
+
+    def _shard_graphs(self):
+        from sagnn_tpu.parallel.sharding import graph_shardings
+        sh = graph_shardings(self._rules,
+                             {k: v for k, v in self.graphs.items()
+                              if k != "plans"})
+        out = {k: jax.device_put(v, sh[k]) for k, v in self.graphs.items()
+               if k != "plans"}
+        if "plans" in self.graphs:
+            # plans are replicated (chunk schedules are not shardable along
+            # the edge axis without replanning)
+            rep = self._rules.replicated
+            out["plans"] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), self.graphs["plans"])
+        return out
 
     # -- jitted bodies -----------------------------------------------------
 
@@ -156,9 +186,18 @@ class Trainer:
 
         def sample(i):
             bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
-            return self.sampler.train_batch(bat)
+            batch = self.sampler.train_batch(bat)
+            if self.mesh is not None:
+                from sagnn_tpu.parallel.sharding import batch_shardings
+                batch = jax.tree_util.tree_map(
+                    jax.device_put, batch,
+                    batch_shardings(self._rules, batch))
+            return batch
 
-        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        import contextlib
+        mesh_ctx = self.mesh if self.mesh is not None else \
+            contextlib.nullcontext()
+        with concurrent.futures.ThreadPoolExecutor(1) as pool, mesh_ctx:
             nxt = pool.submit(sample, 0)
             for i in range(steps):
                 batch = nxt.result()
