@@ -228,7 +228,9 @@ class Trainer:
             "edges_per_sec": self.edges_per_step / mean if mean else 0.0,
         }
 
-    def test_epoch(self) -> Dict[str, float]:
+    def test_epoch(self, dump_uid: int = -1) -> Dict[str, float]:
+        """dump_uid >= 0 prints that batch row's candidate scores, the
+        reference's --uid debug mode (model.py:460-461)."""
         cfg = self.cfg
         ids = np.asarray(self.bundle.tst_usrs)
         num = len(ids)
@@ -240,6 +242,12 @@ class Trainer:
             bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
             user_ids, cand, _pos, seq, seq_mask, valid = \
                 self.sampler.test_batch(bat, test_mode=cfg.train.test_mode)
+            if dump_uid >= 0:
+                scores = self.model.score_with_encodings(
+                    self.state["params"], final_user, final_item,
+                    jnp.asarray(user_ids), jnp.asarray(cand),
+                    jnp.asarray(seq), jnp.asarray(seq_mask))
+                print(np.asarray(scores)[dump_uid])
             mets = as_numpy(self._score_eval(
                 self.state["params"], final_user, final_item,
                 jnp.asarray(user_ids), jnp.asarray(cand), jnp.asarray(seq),
