@@ -278,6 +278,7 @@ class Trainer:
 
     def run(self, resume: bool = False) -> Dict[str, float]:
         cfg = self.cfg
+        self.install_preemption_handler()
         st_epoch = 0
         if resume or cfg.train.load_model:
             state, hist = self.ckpt.restore(self.state)
