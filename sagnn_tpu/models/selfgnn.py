@@ -318,7 +318,9 @@ def _ssl_loss(params: Dict, batch: TrainBatch, final_user: jnp.ndarray,
         hinge = jnp.maximum(0.0, 1.0 - s_final * (s_short_a - s_short_b))
         return jnp.sum(hinge * m)
 
-    losses = jax.lax.map(per_graph, (
+    # vmap (not lax.map/scan): the per-graph work is small, so batching all
+    # intervals into one set of gathers/matmuls beats serializing them
+    losses = jax.vmap(per_graph)((
         user_vec, item_vec, user_weight,
         batch.ssl_u_a, batch.ssl_i_a, batch.ssl_u_b, batch.ssl_i_b,
         batch.ssl_mask))
