@@ -67,10 +67,16 @@ def synthetic_dataset(
     sequences: List[List[int]] = []
     times: List[np.ndarray] = []
     user_cluster = rng.integers(0, num_clusters, size=num_users)
+    log_ps = [np.log(np.maximum(p, 1e-30)) for p in cluster_probs]
     for u in range(num_users):
         n = int(rng.integers(seq_len_range[0], seq_len_range[1] + 1))
-        p = cluster_probs[user_cluster[u]]
-        items = rng.choice(num_items, size=n, replace=False, p=p)
+        n = min(n, num_items - 1)
+        # Gumbel top-k: exact weighted sampling WITHOUT replacement in one
+        # pass (np's choice(replace=False, p=...) rejection-samples and
+        # livelocks when n approaches num_items under a skewed p)
+        keys = log_ps[user_cluster[u]] + rng.gumbel(size=num_items)
+        items = np.argpartition(-keys, n)[:n]
+        rng.shuffle(items)
         t = np.sort(rng.integers(0, 10_000, size=n))
         sequences.append(items.tolist())
         times.append(t)

@@ -402,6 +402,35 @@ class SelfGNN:
         return self.score_with_encodings(params, final_user, final_item,
                                          user_ids, cand_iids, seq, seq_mask)
 
+    def recommend_top_k(self, params: Dict, graphs: Dict[str, jnp.ndarray],
+                        user_ids: jnp.ndarray, seq: jnp.ndarray,
+                        seq_mask: jnp.ndarray, k: int = 10,
+                        exclude_seen: bool = True
+                        ) -> Tuple[jax.Array, jax.Array]:
+        """Serving path: top-k items over the FULL catalog for a user batch.
+
+        Not present in the reference (it only ranks precomputed candidate
+        sets); provided as the production inference surface. Scores every
+        item with the same two-term head as model.py:169-173, optionally
+        masking the user's own input sequence, and returns
+        (scores [B, k], item_ids [B, k]).
+        """
+        cfg = self.cfg
+        final_user, final_item, _, _ = self.encode(params, graphs,
+                                                   train=False)
+        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg)
+        pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
+        au = leaky_relu(att_user, cfg.leaky)                  # [B, D]
+        scores = (pu + au) @ final_item.T                      # [B, I]
+        if exclude_seen:
+            B, L = seq.shape
+            rows = jnp.repeat(jnp.arange(B), L)
+            seen = jnp.zeros((B, self.num_items), jnp.bool_).at[
+                rows, seq.reshape(-1)].max(
+                    (seq_mask.reshape(-1) > 0))
+            scores = jnp.where(seen, -jnp.inf, scores)
+        return jax.lax.top_k(scores, k)
+
     def score_with_encodings(self, params: Dict, final_user: jnp.ndarray,
                              final_item: jnp.ndarray, user_ids: jnp.ndarray,
                              cand_iids: jnp.ndarray, seq: jnp.ndarray,

@@ -1,0 +1,64 @@
+"""Serving-path test: full-catalog top-k recommendation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sagnn_tpu.config import ModelConfig
+from sagnn_tpu.data.graph import compile_interval_graphs
+from sagnn_tpu.data.synthetic import synthetic_dataset
+from sagnn_tpu.models.selfgnn import SelfGNN
+from sagnn_tpu.train.trainer import graphs_to_device
+
+CFG = ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                  num_heads=4, ssldim=8, pos_length=10)
+
+
+def test_top_k_consistent_with_scores():
+    bundle = synthetic_dataset(num_users=30, num_items=50, graph_num=2,
+                               seed=9)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    model = SelfGNN(CFG, 30, 50)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    B = 5
+    user_ids = jnp.asarray(rng.randint(0, 30, B).astype(np.int32))
+    seq = jnp.asarray(rng.randint(0, 50, (B, 10)).astype(np.int32))
+    mask = jnp.asarray((rng.rand(B, 10) > 0.4).astype(np.float32))
+
+    scores_k, items_k = model.recommend_top_k(params, graphs, user_ids,
+                                              seq, mask, k=8,
+                                              exclude_seen=False)
+    assert scores_k.shape == (B, 8) and items_k.shape == (B, 8)
+    # must agree with exhaustive candidate scoring
+    all_items = jnp.broadcast_to(jnp.arange(50)[None], (B, 50))
+    full = model.score_candidates(params, graphs, user_ids, all_items, seq,
+                                  mask)
+    expect = np.sort(np.asarray(full), axis=1)[:, ::-1][:, :8]
+    np.testing.assert_allclose(np.sort(np.asarray(scores_k))[:, ::-1],
+                               expect, rtol=1e-4, atol=1e-4)
+
+
+def test_top_k_excludes_seen():
+    bundle = synthetic_dataset(num_users=20, num_items=30, graph_num=2,
+                               seed=10)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    model = SelfGNN(CFG, 20, 30)
+    params = model.init(jax.random.PRNGKey(1))
+    B = 4
+    user_ids = jnp.asarray(np.arange(B, dtype=np.int32))
+    seq = np.zeros((B, 10), np.int32)
+    mask = np.zeros((B, 10), np.float32)
+    for b in range(B):
+        items = bundle.sequences[b][:5]
+        seq[b, -len(items):] = items
+        mask[b, -len(items):] = 1
+    _, items_k = model.recommend_top_k(params, graphs, user_ids,
+                                       jnp.asarray(seq), jnp.asarray(mask),
+                                       k=10, exclude_seen=True)
+    got = np.asarray(items_k)
+    for b in range(B):
+        seen = set(np.asarray(seq[b])[np.asarray(mask[b]) > 0].tolist())
+        assert not seen & set(got[b].tolist())
