@@ -53,26 +53,46 @@ def multi_head_self_attention(params: Dict[str, jax.Array], x: jax.Array,
     dk = D // num_heads
     xf = x.astype(jnp.float32)
 
+    q = xf @ params["wq"] + params["bq"]
+    k = xf @ params["wk"] + params["bk"]
+    v = xf @ params["wv"] + params["bv"]
+
+    if T <= 16:
+        # Small-T path (the interval axis: T = graph_num ≤ 12). The einsum
+        # formulation becomes B·H tiny [T,dk]x[dk,T] batched matmuls, which
+        # TPUs execute pathologically (measured ~17 ms for [20k,3,64] vs
+        # <1 ms of actual work); broadcast-multiply-reduce stays on the VPU
+        # at full width.
+        qh = q.reshape(B, T, num_heads, dk)
+        kh = k.reshape(B, T, num_heads, dk)
+        vh = v.reshape(B, T, num_heads, dk)
+        logits = jnp.sum(qh[:, :, None] * kh[:, None, :], axis=-1) \
+            / jnp.sqrt(jnp.float32(dk))            # [B, T, S, H]
+        if mask is not None:
+            logits = jnp.where(mask[:, None, :, None] > 0, logits, -1e30)
+        if stable:
+            attn = jax.nn.softmax(logits, axis=2)
+        else:
+            scores = jnp.exp(logits)               # attention.py:39
+            attn = scores / (jnp.sum(scores, axis=2, keepdims=True) + 1e-8)
+        ctx = jnp.sum(attn[..., None] * vh[:, None], axis=2)  # [B,T,H,dk]
+        return ctx.reshape(B, T, D).astype(x.dtype)
+
     def split_heads(y):  # [B, T, D] -> [B, H, T, dk]
         return y.reshape(B, T, num_heads, dk).transpose(0, 2, 1, 3)
 
-    q = split_heads(xf @ params["wq"] + params["bq"])
-    k = split_heads(xf @ params["wk"] + params["bk"])
-    v = split_heads(xf @ params["wv"] + params["bv"])
-
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
     logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                         preferred_element_type=jnp.float32) / jnp.sqrt(
                             jnp.float32(dk))
+    if mask is not None:
+        # mask logits BEFORE the exp (exp(big)*0 would give NaN; the
+        # reference multiplies after exp, attention.py:40-41, but never
+        # actually passes masks)
+        logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
     if stable:
-        if mask is not None:
-            logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
         attn = jax.nn.softmax(logits, axis=-1)
     else:
-        if mask is not None:
-            # mask logits BEFORE the exp (exp(big)*0 would give NaN; the
-            # reference multiplies after exp, attention.py:40-41, but never
-            # actually passes masks)
-            logits = jnp.where(mask[:, None, None, :] > 0, logits, -1e30)
         scores = jnp.exp(logits)  # attention.py:39
         attn = scores / (jnp.sum(scores, axis=-1, keepdims=True) + 1e-8)
     ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v,
