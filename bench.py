@@ -69,6 +69,10 @@ def _time_fn(fn, *args, iters=ITERS):
 
 def main() -> None:
     import jax
+    # persistent compilation cache: repeat runs skip the multi-minute
+    # remote compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     from sagnn_tpu.ops.segment import propagate
     from sagnn_tpu.ops.spmm_pallas import build_stacked_plans, spmm

@@ -76,6 +76,9 @@ def build_config(ns: argparse.Namespace) -> Config:
 
 
 def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     ns = parse_args()
     cfg = build_config(ns)
     log("Start")
