@@ -41,6 +41,10 @@ class ModelConfig:
     # or "pallas" (ops/spmm_pallas.py one-hot-matmul kernel, no scatter).
     spmm_backend: str = "xla"
     spmm_exact: bool = True         # pallas: 3-pass f32 MXU (parity) vs bf16
+    # Q2 variant: sym-sqrt degree-normalized propagation (what the
+    # reference's transToLsts(norm=True) computes before the int32 cast
+    # destroys it, DataHandler.py:50-59). None = parity (unweighted).
+    edge_norm: Optional[str] = None  # None | "sym_sqrt"
 
     @property
     def head_dim(self) -> int:

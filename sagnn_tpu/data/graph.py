@@ -153,6 +153,30 @@ def edge_weights(g: IntervalGraphs, sub_mats: Sequence[sp.spmatrix],
     return out
 
 
+def direction_permutation(g: IntervalGraphs,
+                          sub_mats: Sequence[sp.spmatrix]) -> np.ndarray:
+    """[g, E] int32: for each i-direction edge slot, the u-direction slot of
+    the same (user, item) edge. Pad slots map to themselves.
+
+    Both directions of compile_interval_graphs come from one COO via stable
+    argsorts (by row for u, by col for i), so composing the two orders gives
+    the exact correspondence. Feed this as `i_edge_ids` to
+    ops.spmm_pallas.build_stacked_plans(track_edges=True) so the weighted
+    SpMM / SDDMM ops see ONE canonical edge order (the u-direction one, which
+    is also edge_weights(...)[0]'s alignment).
+    """
+    E = g.edges_padded
+    out = np.tile(np.arange(E, dtype=np.int32), (g.graph_num, 1))
+    for k, m in enumerate(sub_mats):
+        c = sp.coo_matrix(m)
+        order_u = np.argsort(c.row.astype(np.int32), kind="stable")
+        order_i = np.argsort(c.col.astype(np.int32), kind="stable")
+        inv_u = np.empty(c.nnz, np.int32)
+        inv_u[order_u] = np.arange(c.nnz, dtype=np.int32)
+        out[k, : c.nnz] = inv_u[order_i]
+    return out
+
+
 def build_user_item_csr(sequences: List[List[int]], num_users: int,
                         num_items: int) -> sp.csr_matrix:
     """Binary U×I train matrix from per-user item sequences.

@@ -143,54 +143,78 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     """
     leaky = cfg.leaky
     use_pallas = cfg.spmm_backend == "pallas"
+    weighted = cfg.edge_norm is not None
+    if weighted:
+        assert "edge_weights" in graphs, (
+            "edge_norm set but graphs['edge_weights'] missing (Trainer "
+            "attaches it from data.graph.edge_weights)")
     if use_pallas:
         assert "plans" in graphs, "pallas backend needs graphs['plans']"
-        from sagnn_tpu.ops.spmm_pallas import R as _R, spmm
+        from sagnn_tpu.ops.spmm_pallas import R as _R, spmm, spmm_weighted
         nb_u = -(-num_users // _R)
         nb_i = -(-num_items // _R)
+        keys = ("src", "tgt_local", "chunk_block", "chunk_first")
+        if weighted:
+            keys = keys + ("edge_slot", "edge_pos")
 
-        def hop(x, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt):
-            agg = spmm(x, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
-                       cfg.spmm_exact)
+        def hop(x, w, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt):
+            if weighted:
+                agg = spmm_weighted(x, w, fwd, bwd, fwd_nb, fwd_nt,
+                                    bwd_nb, bwd_nt, cfg.spmm_exact)
+            else:
+                agg = spmm(x, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
+                           cfg.spmm_exact)
             return jnp.maximum(leaky * agg, agg)
 
         def one_interval(_, inp):
-            u0, i0, pu, pi = inp
-            fu = (pu["src"], pu["tgt_local"], pu["chunk_block"],
-                  pu["chunk_first"])
-            fi = (pi["src"], pi["tgt_local"], pi["chunk_block"],
-                  pi["chunk_first"])
+            u0, i0, pu, pi, w = inp
+            fu = tuple(pu[k] for k in keys)
+            fi = tuple(pi[k] for k in keys)
             embs0, embs1 = [u0], [i0]
             for _l in range(cfg.gnn_layer):
-                a0 = hop(embs1[-1], fu, fi, nb_u, num_users, nb_i, num_items)
-                a1 = hop(embs0[-1], fi, fu, nb_i, num_items, nb_u, num_users)
+                # both hops take the CANONICAL (u-direction-order) weights —
+                # the plans' edge ids map them into each chunk layout
+                a0 = hop(embs1[-1], w, fu, fi, nb_u, num_users, nb_i,
+                         num_items)
+                a1 = hop(embs0[-1], w, fi, fu, nb_i, num_items, nb_u,
+                         num_users)
                 embs0.append(a0 + embs0[-1])
                 embs1.append(a1 + embs1[-1])
             return None, (sum(embs0[1:], embs0[0]), sum(embs1[1:], embs1[0]))
 
+        w_canon = (graphs["edge_weights"][0] if weighted else
+                   jnp.zeros((cfg.graph_num, 0), jnp.float32))
         _, (user_vec, item_vec) = jax.lax.scan(
             one_interval, None,
             (params["reg"]["u_embed"], params["reg"]["i_embed"],
-             graphs["plans"]["u"], graphs["plans"]["i"]))
+             graphs["plans"]["u"], graphs["plans"]["i"], w_canon))
         return user_vec, item_vec
 
     def one_interval(_, inp):
-        u0, i0, u_src, u_tgt, i_src, i_tgt = inp
+        u0, i0, u_src, u_tgt, i_src, i_tgt, w_u, w_i = inp
         embs0 = [u0]
         embs1 = [i0]
+        wu = w_u if weighted else None
+        wi = w_i if weighted else None
         for _l in range(cfg.gnn_layer):
-            a0 = propagate(embs1[-1], u_src, u_tgt, num_users, leaky)
-            a1 = propagate(embs0[-1], i_src, i_tgt, num_items, leaky)
+            a0 = propagate(embs1[-1], u_src, u_tgt, num_users, leaky, wu)
+            a1 = propagate(embs0[-1], i_src, i_tgt, num_items, leaky, wi)
             embs0.append(a0 + embs0[-1])
             embs1.append(a1 + embs1[-1])
         user = sum(embs0[1:], embs0[0])  # tf.add_n over all layers
         item = sum(embs1[1:], embs1[0])
         return None, (user, item)
 
+    if weighted:
+        w_u, w_i = graphs["edge_weights"][0], graphs["edge_weights"][1]
+    else:
+        zeros = jnp.zeros((cfg.graph_num, 0), jnp.float32)
+        w_u = w_i = zeros
     _, (user_vec, item_vec) = jax.lax.scan(
         one_interval, None,
         (params["reg"]["u_embed"], params["reg"]["i_embed"],
-         graphs["u_src"], graphs["u_tgt"], graphs["i_src"], graphs["i_tgt"]))
+         graphs["u_src"], graphs["u_tgt"], graphs["i_src"], graphs["i_tgt"],
+         w_u, w_i))
     return user_vec, item_vec
 
 

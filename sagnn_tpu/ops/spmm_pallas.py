@@ -57,6 +57,16 @@ class SpmmPlan:
     num_blocks: real output blocks (out rows = (num_blocks+1)*R; the +1 is
                 the dump block absorbing padding)
     num_tgt:    true target count (out sliced to this)
+
+    Edge-id tracking (present when plan_spmm was called with track_edges;
+    needed by the weighted SpMM / SDDMM kernels to move per-edge values
+    between the caller's "canonical" edge order and the chunk layout):
+    edge_slot:  [NC*C] int32 — canonical edge id per slot (pad: num_edge_ids)
+    edge_pos:   [num_edge_ids] int32 — slot of each canonical edge in the
+                flattened chunk stream (ids with no edge: NC*C, so a
+                mode="fill" gather returns 0)
+    num_edge_ids: length of the canonical id space (= the caller's padded
+                edge array length; doubles as edge_slot's pad value)
     """
 
     src: np.ndarray
@@ -65,6 +75,9 @@ class SpmmPlan:
     chunk_first: np.ndarray
     num_blocks: int
     num_tgt: int
+    edge_slot: np.ndarray | None = None
+    edge_pos: np.ndarray | None = None
+    num_edge_ids: int = 0
 
     @property
     def num_chunks(self) -> int:
@@ -76,7 +89,9 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
               num_chunks: int | None = None,
               sort_sources: bool = True,
               chunk_size: int = C,
-              num_slices: int = 1) -> SpmmPlan:
+              num_slices: int = 1,
+              edge_ids: np.ndarray | None = None,
+              track_edges: bool = False) -> SpmmPlan:
     """Build the chunk schedule from target-sorted COO edges.
 
     `src`/`tgt` may carry padding at the end (tgt == num_tgt), which is
@@ -86,16 +101,32 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
     edge order inside a block is free (the one-hot matmul sums regardless),
     and source-sorted chunks give the XLA gather near-sequential access
     patterns instead of fully random ones.
+
+    track_edges / edge_ids: record where each edge landed in the chunk
+    layout (SpmmPlan.edge_slot/edge_pos), so per-edge values (weights, SDDMM
+    scores) can be gathered between orders on device. `edge_ids[e]` is the
+    canonical id of input edge e (default: its input position); ids must be
+    unique in [0, len(src)). The canonical id space is the INPUT padded edge
+    array, shared by both directions of a graph when the transpose direction
+    passes the cross-direction permutation as its edge_ids.
     """
     src = np.asarray(src, np.int32)
     tgt = np.asarray(tgt, np.int32)
+    pad_id = len(src)
     if num_edges is None:
         num_edges = int(np.searchsorted(tgt, num_tgt))
+    if edge_ids is not None:
+        track_edges = True
+        edge_ids = np.asarray(edge_ids, np.int32)[:num_edges]
+    elif track_edges:
+        edge_ids = np.arange(num_edges, dtype=np.int32)
     src, tgt = src[:num_edges], tgt[:num_edges]
     assert (np.diff(tgt) >= 0).all(), "edges must be sorted by target"
     if sort_sources and num_edges:
         order = np.lexsort((src, tgt // R))
         src, tgt = src[order], tgt[order]
+        if track_edges:
+            edge_ids = edge_ids[order]
 
     num_blocks = max(1, -(-num_tgt // R))
     blocks = tgt // R if num_edges else np.zeros(0, np.int32)
@@ -105,12 +136,14 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
     # uninitialized from VMEM).
     CS = chunk_size
     chunks_src, chunks_tl, chunk_block, chunk_first = [], [], [], []
+    chunks_eid = []
     bounds = np.searchsorted(blocks, np.arange(num_blocks + 1))
     for b in range(num_blocks):
         start, end = int(bounds[b]), int(bounds[b + 1])
         if start == end:
             chunks_src.append(np.zeros(CS, np.int32))
             chunks_tl.append(np.full(CS, R, np.int32))
+            chunks_eid.append(np.full(CS, pad_id, np.int32))
             chunk_block.append(b)
             chunk_first.append(1)
             continue
@@ -118,10 +151,14 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
             ce = min(cs + CS, end)
             s = np.zeros(CS, np.int32)
             tl = np.full(CS, R, np.int32)
+            ei = np.full(CS, pad_id, np.int32)
             s[: ce - cs] = src[cs:ce]
             tl[: ce - cs] = tgt[cs:ce] - b * R
+            if track_edges:
+                ei[: ce - cs] = edge_ids[cs:ce]
             chunks_src.append(s)
             chunks_tl.append(tl)
+            chunks_eid.append(ei)
             chunk_block.append(b)
             chunk_first.append(1 if cs == start else 0)
 
@@ -133,6 +170,7 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
     for _ in range(target_nc - nc):
         chunks_src.append(np.zeros(CS, np.int32))
         chunks_tl.append(np.full(CS, R, np.int32))
+        chunks_eid.append(np.full(CS, pad_id, np.int32))
         chunk_block.append(num_blocks)  # dump block
         chunk_first.append(1)
 
@@ -145,6 +183,15 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
         for s in range(num_slices):
             chunk_first[s * per] = 1
 
+    edge_slot = edge_pos = None
+    if track_edges:
+        edge_slot = np.concatenate(chunks_eid).astype(np.int32)
+        # inverse map: canonical id -> flat slot; absent ids -> out-of-range
+        # so a mode="fill" gather yields 0.
+        edge_pos = np.full(pad_id, len(edge_slot), np.int32)
+        real = edge_slot < pad_id
+        edge_pos[edge_slot[real]] = np.nonzero(real)[0].astype(np.int32)
+
     return SpmmPlan(
         src=np.concatenate(chunks_src).astype(np.int32),
         tgt_local=np.stack(chunks_tl).astype(np.int32),
@@ -152,25 +199,32 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
         chunk_first=np.asarray(chunk_first, np.int32),
         num_blocks=num_blocks,
         num_tgt=num_tgt,
+        edge_slot=edge_slot,
+        edge_pos=edge_pos,
+        num_edge_ids=pad_id,
     )
 
 
-def _segsum_kernel_init(first_ref, blk_ref, tl_ref, msg_ref, init_ref,
-                        out_ref, *, exact: bool):
-    """Variant with an aliased zero-initialized output (sliced path): blocks
-    a slice never visits keep the zeros of the aliased input."""
-    del init_ref  # aliased to out — only its initial contents matter
-    _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, exact=exact)
-
-
-def _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, *,
-                   exact: bool):
+def _segsum_kernel(first_ref, blk_ref, tl_ref, *refs, exact: bool,
+                   weighted: bool, zero_init: bool):
     """One chunk: out_block += one_hot(tgt_local)^T @ messages.
 
     exact=True forces 3-pass f32 MXU multiplication (the TPU MXU otherwise
     truncates f32 operands to bf16, which breaks segment-sum parity with the
-    reference at ~1e-2)."""
+    reference at ~1e-2).
+
+    weighted=True folds per-edge weights into the transposed one-hot (the
+    matmul then computes Σ w_e·x[src_e] at zero extra cost — no [C, D]
+    pre-scale of the message stream).
+
+    zero_init=True marks the aliased-zeros-input variant (sliced path):
+    blocks a slice never visits keep the zeros of the aliased input."""
     del blk_ref  # consumed by the index maps
+    if weighted:
+        w_ref, refs = refs[0], refs[1:]
+    msg_ref = refs[0]
+    out_ref = refs[-1]  # refs[-2] when zero_init is the aliased input
+    del zero_init
     c = pl.program_id(0)
     first = first_ref[c]
 
@@ -180,7 +234,11 @@ def _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, *,
 
     tl = tl_ref[0]                                    # [1, C] int32
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, tl.shape[-1]), 0)
-    oh_t = (tl == rows).astype(msg_ref.dtype)         # [R, C] transposed 1-hot
+    hot = tl == rows                                  # [R, C] transposed 1-hot
+    if weighted:
+        oh_t = jnp.where(hot, w_ref[0], 0).astype(msg_ref.dtype)
+    else:
+        oh_t = hot.astype(msg_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         oh_t, msg_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -193,32 +251,42 @@ def _segsum_kernel(first_ref, blk_ref, tl_ref, msg_ref, out_ref, *,
 def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                    chunk_block: jax.Array, chunk_first: jax.Array,
                    num_blocks: int, exact: bool = True,
-                   zero_init: bool = False) -> jax.Array:
+                   zero_init: bool = False,
+                   weights: jax.Array | None = None) -> jax.Array:
     """messages: [NC*C, D] chunk-ordered; returns [(num_blocks+1)*R, D].
 
     zero_init=True aliases the output to a fresh zeros buffer so blocks this
     call never visits read back as zero (required by the sliced path, where
     a slice touches only a subset of blocks).
+
+    weights: optional [NC*C] f32 per-edge weights in chunk order (weighted
+    SpMM; pad slots must carry weight 0 or a pad tgt_local — both hold here).
     """
     nc = tgt_local.shape[0]
     cs = tgt_local.shape[-1]
     d = messages.shape[-1]
+    weighted = weights is not None
     tgt_local = tgt_local.reshape(nc, 1, cs)
     out_rows = (num_blocks + 1) * R
     in_specs = [
         pl.BlockSpec((1, 1, cs), lambda c, first, blk: (c, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cs, d), lambda c, first, blk: (c, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    inputs = [chunk_first, chunk_block, tgt_local, messages]
-    kernel = _segsum_kernel
+    inputs = [chunk_first, chunk_block, tgt_local]
+    if weighted:
+        in_specs.append(pl.BlockSpec((1, 1, cs),
+                                     lambda c, first, blk: (c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(weights.astype(jnp.float32).reshape(nc, 1, cs))
+    in_specs.append(pl.BlockSpec((cs, d), lambda c, first, blk: (c, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(messages)
     aliases = {}
     if zero_init:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(jnp.zeros((out_rows, d), jnp.float32))
-        kernel = _segsum_kernel_init
-        aliases = {4: 0}  # zeros input (after 2 prefetch + 2 tensor) -> out
+        # zeros input (after 2 prefetch + tensor inputs) aliases the output
+        aliases = {len(inputs) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # chunk_first, chunk_block (used in maps)
         grid=(nc,),
@@ -227,7 +295,8 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(kernel, exact=exact),
+        functools.partial(_segsum_kernel, exact=exact, weighted=weighted,
+                          zero_init=zero_init),
         grid_spec=grid_spec,
         # CPU (tests, CI meshes) runs the kernel in interpreter mode
         interpret=jax.default_backend() == "cpu",
@@ -246,12 +315,17 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
 def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
                chunk_block: jax.Array, chunk_first: jax.Array,
                num_blocks: int, num_tgt: int,
-               exact: bool = True, num_slices: int = 1) -> jax.Array:
-    """out[t] = Σ_{e: tgt[e]=t} x[src[e]] — XLA gather + Pallas segsum.
+               exact: bool = True, num_slices: int = 1,
+               weights: jax.Array | None = None) -> jax.Array:
+    """out[t] = Σ_{e: tgt[e]=t} w[e]·x[src[e]] — XLA gather + Pallas segsum.
 
     exact=False is the throughput path: the node table is cast to bf16
     BEFORE the gather, halving the dominant random-read+stream traffic of
     the [E, D] message stream; accumulation stays f32 in the kernel.
+
+    weights: optional [NC*C] f32 chunk-ordered edge weights (w ≡ 1 without);
+    they ride the one-hot operand, so the weighted SpMM costs the same as
+    the unweighted one.
 
     num_slices>1 is the out-of-core path for huge graphs: only one slice's
     message stream is live at a time (a lax.scan over slices sums partial
@@ -263,7 +337,7 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
     if num_slices == 1:
         messages = jnp.take(x, src, axis=0)  # [NC*C, D], bandwidth-bound
         out = _segsum_pallas(messages, tgt_local, chunk_block, chunk_first,
-                             num_blocks, exact=exact)
+                             num_blocks, exact=exact, weights=weights)
         return out[:num_tgt]
 
     nc = tgt_local.shape[0]
@@ -273,13 +347,16 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
     xs = (src.reshape(num_slices, per * cs),
           tgt_local.reshape(num_slices, per, cs),
           chunk_block.reshape(num_slices, per),
-          chunk_first.reshape(num_slices, per))
+          chunk_first.reshape(num_slices, per),
+          (jnp.zeros((num_slices, 0)) if weights is None
+           else weights.reshape(num_slices, per * cs)))
 
     def body(acc, sl):
-        s, tl, cb, cf = sl
+        s, tl, cb, cf, w = sl
         messages = jnp.take(x, s, axis=0)
         out = _segsum_pallas(messages, tl, cb, cf, num_blocks, exact=exact,
-                             zero_init=True)
+                             zero_init=True,
+                             weights=None if weights is None else w)
         return acc + out, None
 
     init = jnp.zeros(((num_blocks + 1) * R, x.shape[-1]), jnp.float32)
@@ -344,34 +421,239 @@ def spmm_from_plans(x: jax.Array, fwd_plan: SpmmPlan, bwd_plan: SpmmPlan,
 
 
 # ---------------------------------------------------------------------------
+# SDDMM + weighted SpMM (mutually dual — each is the other's gradient)
+#
+# SDDMM (sampled dense-dense matmul): s_e = x[src_e] · y[tgt_e] for every
+# edge. The reference never needs it (propagation is unweighted, SURVEY.md
+# Q1/Q2), but it is the kernel behind every edge-scored variant (normalized /
+# GAT-style propagation) and the exact gradient of the weighted SpMM:
+#     out = Σ_e w_e·x[src_e]        ⇒  ∂w_e = x[src_e]·ḡ[tgt_e]   (SDDMM)
+#     s_e = x[src_e]·y[tgt_e]       ⇒  ∂y   = Σ_e s̄_e·x[src_e]   (wSpMM)
+#
+# TPU shape: the target-side gather that a naive SDDMM would do (y[tgt], a
+# second [E, D] random read) is replaced by MXU work on the block already
+# resident in VMEM — one_hot(tgt_local)[C, R] @ y_block[R, D] — so only the
+# source gather touches HBM randomly, same as the unweighted SpMM.
+# ---------------------------------------------------------------------------
+
+def _sddmm_kernel(blk_ref, tl_ref, msg_ref, y_ref, out_ref, *, exact: bool):
+    """One chunk: scores[C] = Σ_d msgs[C, D] ⊙ (one_hot(tl)[C, R] @ y[R, D])."""
+    del blk_ref  # consumed by the index maps
+    tl = tl_ref[0]                                    # [1, C] int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tl.shape[-1], R), 1)
+    oh = (tl.reshape(-1, 1) == cols).astype(y_ref.dtype)       # [C, R]
+    gathered = jax.lax.dot_general(                   # [C, D] target embeds
+        oh, y_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if exact
+                   else jax.lax.Precision.DEFAULT),
+    )
+    prod = gathered * msg_ref[:].astype(jnp.float32)
+    out_ref[:] = jnp.sum(prod, axis=-1)[None, :]
+
+
+def sddmm_apply(x: jax.Array, y: jax.Array, src: jax.Array,
+                tgt_local: jax.Array, chunk_block: jax.Array,
+                num_blocks: int, num_tgt: int,
+                exact: bool = True) -> jax.Array:
+    """Edge scores in CHUNK order: flat [NC*C] f32, pad slots = 0.
+
+    Gather back to canonical edge order with the plan's edge_pos
+    (`jnp.take(out, edge_pos, mode="fill", fill_value=0.0)`).
+    """
+    if not exact:
+        x = x.astype(jnp.bfloat16)
+        y = y.astype(jnp.bfloat16)
+    nc = tgt_local.shape[0]
+    cs = tgt_local.shape[-1]
+    d = x.shape[-1]
+    messages = jnp.take(x, src, axis=0)               # [NC*C, D]
+    rows = (num_blocks + 1) * R
+    y_pad = jnp.pad(y, ((0, rows - y.shape[0]), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,    # chunk_block (used in the y index map)
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cs), lambda c, blk: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cs, d), lambda c, blk: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, d), lambda c, blk: (blk[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cs), lambda c, blk: (c, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sddmm_kernel, exact=exact),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
+        out_shape=jax.ShapeDtypeStruct((nc, cs), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nc * cs * R * d + nc * cs * d,
+            bytes_accessed=nc * cs * (d * 4 + 4) + rows * d * 4,
+            transcendentals=0,
+        ),
+    )(chunk_block, tgt_local.reshape(nc, 1, cs), messages, y_pad)
+    return out.reshape(-1)
+
+
+def _chunk_weights(w: jax.Array, edge_slot: jax.Array) -> jax.Array:
+    """Canonical-order edge values -> chunk-order flat [NC*C] (pad -> 0).
+
+    edge_slot's pad value is num_edge_ids == len(w), hitting the appended 0.
+    """
+    w_safe = jnp.concatenate([w.astype(jnp.float32),
+                              jnp.zeros((1,), jnp.float32)])
+    return jnp.take(w_safe, edge_slot)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def spmm_weighted(x: jax.Array, w: jax.Array, fwd_arrays: Tuple,
+                  bwd_arrays: Tuple, fwd_nb: int, fwd_nt: int,
+                  bwd_nb: int, bwd_nt: int,
+                  exact: bool = True) -> jax.Array:
+    """Differentiable A_w @ x — weighted SpMM over a fixed sparse pattern.
+
+    fwd_arrays/bwd_arrays: (src, tgt_local, chunk_block, chunk_first,
+    edge_slot, edge_pos) device arrays from edge-tracked plans of A and A^T.
+    Both plans' edge ids must refer to the SAME canonical order as `w`
+    (len(w) == num_edge_ids). Differentiable in BOTH x and w.
+    """
+    s, tl, cb, cf, eslot, _ = fwd_arrays
+    return spmm_apply(x, s, tl, cb, cf, fwd_nb, fwd_nt, exact=exact,
+                      weights=_chunk_weights(w, eslot))
+
+
+def _spmm_weighted_fwd(x, w, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt,
+                       bwd_nb, bwd_nt, exact):
+    out = spmm_weighted(x, w, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt,
+                        bwd_nb, bwd_nt, exact)
+    return out, (x, w, fwd_arrays, bwd_arrays)
+
+
+def _spmm_weighted_bwd(fwd_nb, fwd_nt, bwd_nb, bwd_nt, exact, res, g):
+    x, w, fwd_arrays, bwd_arrays = res
+    bs, btl, bcb, bcf, beslot, _ = bwd_arrays
+    dx = spmm_apply(g, bs, btl, bcb, bcf, bwd_nb, bwd_nt, exact=exact,
+                    weights=_chunk_weights(w, beslot))
+    fs, ftl, fcb, _fcf, _feslot, fepos = fwd_arrays
+    flat = sddmm_apply(x, g, fs, ftl, fcb, fwd_nb, fwd_nt, exact=exact)
+    dw = jnp.take(flat, fepos, mode="fill", fill_value=0.0)
+    return dx, dw, _float0s(fwd_arrays), _float0s(bwd_arrays)
+
+
+spmm_weighted.defvjp(_spmm_weighted_fwd, _spmm_weighted_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def sddmm(x: jax.Array, y: jax.Array, fwd_arrays: Tuple, bwd_arrays: Tuple,
+          fwd_nb: int, fwd_nt: int, bwd_nb: int, bwd_nt: int,
+          exact: bool = True) -> jax.Array:
+    """Differentiable per-edge scores s_e = x[src_e]·y[tgt_e], in canonical
+    edge order [num_edge_ids] (absent/padding ids score 0).
+
+    Plan requirements identical to spmm_weighted.
+    """
+    s, tl, cb, _cf, _eslot, epos = fwd_arrays
+    flat = sddmm_apply(x, y, s, tl, cb, fwd_nb, fwd_nt, exact=exact)
+    return jnp.take(flat, epos, mode="fill", fill_value=0.0)
+
+
+def _sddmm_fwd(x, y, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
+               exact):
+    out = sddmm(x, y, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, bwd_nb,
+                bwd_nt, exact)
+    return out, (x, y, fwd_arrays, bwd_arrays)
+
+
+def _sddmm_bwd(fwd_nb, fwd_nt, bwd_nb, bwd_nt, exact, res, g):
+    x, y, fwd_arrays, bwd_arrays = res
+    fs, ftl, fcb, fcf, feslot, _ = fwd_arrays
+    bs, btl, bcb, bcf, beslot, _ = bwd_arrays
+    # ∂y[t] = Σ_{e: tgt_e = t} ḡ_e x[src_e] — weighted SpMM, fwd direction
+    dy = spmm_apply(x, fs, ftl, fcb, fcf, fwd_nb, fwd_nt, exact=exact,
+                    weights=_chunk_weights(g, feslot))
+    # ∂x[u] = Σ_{e: src_e = u} ḡ_e y[tgt_e] — weighted SpMM, transpose dir
+    dx = spmm_apply(y, bs, btl, bcb, bcf, bwd_nb, bwd_nt, exact=exact,
+                    weights=_chunk_weights(g, beslot))
+    return dx, dy, _float0s(fwd_arrays), _float0s(bwd_arrays)
+
+
+sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+def _plan_args_tracked(p: SpmmPlan):
+    assert p.edge_slot is not None, "plan built without track_edges"
+    return ((jnp.asarray(p.src), jnp.asarray(p.tgt_local),
+             jnp.asarray(p.chunk_block), jnp.asarray(p.chunk_first),
+             jnp.asarray(p.edge_slot), jnp.asarray(p.edge_pos)),
+            p.num_blocks, p.num_tgt)
+
+
+def spmm_weighted_from_plans(x: jax.Array, w: jax.Array, fwd_plan: SpmmPlan,
+                             bwd_plan: SpmmPlan,
+                             exact: bool = True) -> jax.Array:
+    fa, fnb, fnt = _plan_args_tracked(fwd_plan)
+    ba, bnb, bnt = _plan_args_tracked(bwd_plan)
+    return spmm_weighted(x, w, fa, ba, fnb, fnt, bnb, bnt, exact)
+
+
+def sddmm_from_plans(x: jax.Array, y: jax.Array, fwd_plan: SpmmPlan,
+                     bwd_plan: SpmmPlan, exact: bool = True) -> jax.Array:
+    fa, fnb, fnt = _plan_args_tracked(fwd_plan)
+    ba, bnb, bnt = _plan_args_tracked(bwd_plan)
+    return sddmm(x, y, fa, ba, fnb, fnt, bnb, bnt, exact)
+
+
+# ---------------------------------------------------------------------------
 # Stacked per-interval plans for the model's lax.scan over intervals
 # ---------------------------------------------------------------------------
 
 def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
-                        num_items: int, edge_counts) -> dict:
+                        num_items: int, edge_counts,
+                        track_edges: bool = False,
+                        i_edge_ids=None) -> dict:
     """Build SpMM plans for every interval in both directions and stack them
     [g, ...] with a common chunk count per direction, for use under lax.scan.
 
     Inputs are the padded [g, E] arrays from data.graph.IntervalGraphs.
     Returns {'u': {...}, 'i': {...}, 'num_blocks_u', 'num_blocks_i'} where
     each direction dict holds stacked src/tgt_local/chunk_block/chunk_first.
+
+    track_edges: also stack edge_slot/edge_pos for the weighted/SDDMM ops.
+    The canonical per-interval edge order is the U-DIRECTION padded edge
+    array ([g, E], matching data.graph.edge_weights(...)[0]); `i_edge_ids`
+    ([g, E], from data.graph.direction_permutation) maps each i-direction
+    edge to its u-direction position so both plans share that order.
     """
     g = u_src.shape[0]
+    if track_edges and i_edge_ids is None:
+        raise ValueError("track_edges needs i_edge_ids (the i->u direction "
+                         "permutation) so both plans share one edge order")
     u_plans = [plan_spmm(u_src[k], u_tgt[k], num_users,
-                         num_edges=int(edge_counts[k])) for k in range(g)]
+                         num_edges=int(edge_counts[k]),
+                         track_edges=track_edges) for k in range(g)]
     i_plans = [plan_spmm(i_src[k], i_tgt[k], num_items,
-                         num_edges=int(edge_counts[k])) for k in range(g)]
+                         num_edges=int(edge_counts[k]),
+                         edge_ids=(i_edge_ids[k] if track_edges else None))
+               for k in range(g)]
 
     def stack(plans):
         nc = max(p.num_chunks for p in plans)
         plans = [p if p.num_chunks == nc else
                  plan_spmm_repad(p, nc) for p in plans]
-        return {
+        out = {
             "src": np.stack([p.src for p in plans]),
             "tgt_local": np.stack([p.tgt_local for p in plans]),
             "chunk_block": np.stack([p.chunk_block for p in plans]),
             "chunk_first": np.stack([p.chunk_first for p in plans]),
         }
+        if track_edges:
+            out["edge_slot"] = np.stack([p.edge_slot for p in plans])
+            out["edge_pos"] = np.stack([p.edge_pos for p in plans])
+        return out
 
     return {
         "u": stack(u_plans), "i": stack(i_plans),
@@ -382,7 +664,12 @@ def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
 
 
 def plan_spmm_repad(p: SpmmPlan, num_chunks: int) -> SpmmPlan:
-    """Pad an existing plan with extra dump-block chunks."""
+    """Pad an existing plan with extra dump-block chunks.
+
+    edge_pos is kept as-is: entries for absent canonical ids pointed past the
+    old slot count and now land in appended all-padding slots, which produce
+    exactly the 0 a mode="fill" gather would have (pad slots carry tl == R
+    and weight/score 0)."""
     extra = num_chunks - p.num_chunks
     assert extra >= 0
     cs = p.tgt_local.shape[-1]
@@ -396,4 +683,8 @@ def plan_spmm_repad(p: SpmmPlan, num_chunks: int) -> SpmmPlan:
             [p.chunk_first, np.ones(extra, np.int32)]),
         num_blocks=p.num_blocks,
         num_tgt=p.num_tgt,
+        edge_slot=(None if p.edge_slot is None else np.concatenate(
+            [p.edge_slot, np.full(extra * cs, p.num_edge_ids, np.int32)])),
+        edge_pos=p.edge_pos,
+        num_edge_ids=p.num_edge_ids,
     )

@@ -55,9 +55,13 @@ def param_shardings(rules: ShardingRules, params: Dict) -> Dict:
 
 
 def graph_shardings(rules: ShardingRules, graphs: Dict) -> Dict:
-    """[g, E] edge arrays: shard the edge axis over 'model'."""
+    """[g, E] edge arrays: shard the edge axis over 'model'.
+
+    edge_weights is [2, g, E] (direction-major) — same edge-axis sharding,
+    one axis deeper."""
     s = rules.named(None, rules.model_axis)
-    return {k: s for k in graphs}
+    s3 = rules.named(None, None, rules.model_axis)
+    return {k: (s3 if k == "edge_weights" else s) for k in graphs}
 
 
 def batch_shardings(rules: ShardingRules, batch) -> object:

@@ -96,12 +96,23 @@ class Trainer:
         self.graph_blocks = compile_interval_graphs(
             bundle.sub_mats, pad_multiple=pad_multiple)
         self.graphs = graphs_to_device(self.graph_blocks)
+        weighted = cfg.model.edge_norm is not None
+        if weighted:
+            from sagnn_tpu.data.graph import edge_weights
+            self.graphs["edge_weights"] = jnp.asarray(edge_weights(
+                self.graph_blocks, bundle.sub_mats, norm=cfg.model.edge_norm))
         if cfg.model.spmm_backend == "pallas":
             from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
             gb = self.graph_blocks
+            i_edge_ids = None
+            if weighted:
+                from sagnn_tpu.data.graph import direction_permutation
+                i_edge_ids = direction_permutation(gb, bundle.sub_mats)
             plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src,
                                         gb.i_tgt, gb.num_users, gb.num_items,
-                                        gb.edge_counts)
+                                        gb.edge_counts,
+                                        track_edges=weighted,
+                                        i_edge_ids=i_edge_ids)
             self.graphs["plans"] = {
                 "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
                 "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},

@@ -120,3 +120,82 @@ def test_per_token_sequence_branch_runs_and_differs():
     s_tok = m_tok.score_candidates(params, graphs, uids, cand, seq, mask)
     assert np.isfinite(np.asarray(s_tok)).all()
     assert not np.allclose(np.asarray(s_pool), np.asarray(s_tok))
+
+
+def test_edge_norm_variant_xla_vs_pallas():
+    """sym-sqrt normalized propagation (Q2 variant): the XLA weighted
+    segment-sum path and the Pallas weighted-SpMM path must agree, and both
+    must differ from the unweighted parity path."""
+    from sagnn_tpu.data.graph import direction_permutation, edge_weights
+    from sagnn_tpu.models.selfgnn import _interval_propagation
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               seed=9)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    ew = edge_weights(gb, bundle.sub_mats)
+    graphs["edge_weights"] = jnp.asarray(ew)
+    perm = direction_permutation(gb, bundle.sub_mats)
+    plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt,
+                                gb.num_users, gb.num_items, gb.edge_counts,
+                                track_edges=True, i_edge_ids=perm)
+    graphs["plans"] = {
+        "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
+        "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},
+    }
+    base = dict(graph_num=2, gnn_layer=2, latdim=16, num_heads=4, ssldim=8,
+                pos_length=10)
+    cfg_x = ModelConfig(**base, edge_norm="sym_sqrt")
+    cfg_p = ModelConfig(**base, edge_norm="sym_sqrt", spmm_backend="pallas")
+    cfg_parity = ModelConfig(**base)
+    params = SelfGNN(cfg_x, 48, 64).init(jax.random.PRNGKey(3))
+
+    uv_x, iv_x = _interval_propagation(params, graphs, cfg_x, 48, 64)
+    uv_p, iv_p = _interval_propagation(params, graphs, cfg_p, 48, 64)
+    uv_0, _ = _interval_propagation(params, graphs, cfg_parity, 48, 64)
+    np.testing.assert_allclose(np.asarray(uv_x), np.asarray(uv_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iv_x), np.asarray(iv_p),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(uv_x), np.asarray(uv_0))
+
+
+def test_edge_norm_variant_grads_match():
+    """Gradients w.r.t. the node tables agree across backends (the Pallas
+    path runs its custom VJP incl. the SDDMM dw branch)."""
+    from sagnn_tpu.data.graph import direction_permutation, edge_weights
+    from sagnn_tpu.models.selfgnn import _interval_propagation
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
+
+    bundle = synthetic_dataset(num_users=32, num_items=40, graph_num=2,
+                               seed=11)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    graphs["edge_weights"] = jnp.asarray(edge_weights(gb, bundle.sub_mats))
+    perm = direction_permutation(gb, bundle.sub_mats)
+    plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt,
+                                gb.num_users, gb.num_items, gb.edge_counts,
+                                track_edges=True, i_edge_ids=perm)
+    graphs["plans"] = {
+        "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
+        "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},
+    }
+    base = dict(graph_num=2, gnn_layer=2, latdim=16, num_heads=4, ssldim=8,
+                pos_length=10)
+    cfg_x = ModelConfig(**base, edge_norm="sym_sqrt")
+    cfg_p = ModelConfig(**base, edge_norm="sym_sqrt", spmm_backend="pallas")
+    params = SelfGNN(cfg_x, 32, 40).init(jax.random.PRNGKey(4))
+
+    def loss(params, cfg):
+        uv, iv = _interval_propagation(params, graphs, cfg, 32, 40)
+        return jnp.sum(uv ** 2) + jnp.sum(iv ** 2)
+
+    gx = jax.grad(loss)(params, cfg_x)
+    gp = jax.grad(loss)(params, cfg_p)
+    np.testing.assert_allclose(np.asarray(gx["reg"]["u_embed"]),
+                               np.asarray(gp["reg"]["u_embed"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx["reg"]["i_embed"]),
+                               np.asarray(gp["reg"]["i_embed"]),
+                               rtol=1e-4, atol=1e-4)
