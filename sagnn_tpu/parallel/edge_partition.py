@@ -79,6 +79,17 @@ def partition_edges_by_target(src: np.ndarray, tgt: np.ndarray,
                           rows_per_shard=rows, num_tgt=num_tgt)
 
 
+def pad_node_table_rows(x: np.ndarray, num_shards: int,
+                        rows_per_shard: int) -> np.ndarray:
+    """Pad node rows to exactly num_shards*rows_per_shard (ring layout)."""
+    target = num_shards * rows_per_shard
+    assert x.shape[0] <= target, (x.shape, num_shards, rows_per_shard)
+    if target == x.shape[0]:
+        return x
+    return np.concatenate(
+        [x, np.zeros((target - x.shape[0],) + x.shape[1:], x.dtype)])
+
+
 def pad_node_table(x: np.ndarray, num_shards: int) -> np.ndarray:
     """Pad node rows so the table splits evenly over shards."""
     n = x.shape[0]
@@ -124,5 +135,138 @@ def edge_partitioned_propagate(mesh: Mesh, x: jax.Array,
                                axis: str = "model") -> jax.Array:
     """Hop + leaky-relu, sliced to the true target count."""
     out = edge_partitioned_spmm(mesh, x, parts, axis)
+    out = out[: parts.num_tgt]
+    return jnp.maximum(leaky * out, out)
+
+
+# ---------------------------------------------------------------------------
+# Ring-overlapped variant: boundary exchange hidden behind local aggregation
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RingEdgePartitions:
+    """Edge partitions double-bucketed for the ring schedule.
+
+    src_local: [P, P, B] int32 — [target_shard, SOURCE_shard, edge]; source
+               ids LOCAL to their source shard (pad 0)
+    tgt_local: [P, P, B] int32 — target ids local to the target shard
+               (pad = rows_per_shard), sorted ascending per bucket
+    rows_per_shard: padded target rows each shard owns
+    src_rows_per_shard: padded source rows each shard owns
+    num_tgt / num_src: true global counts
+    """
+
+    src_local: np.ndarray
+    tgt_local: np.ndarray
+    rows_per_shard: int
+    src_rows_per_shard: int
+    num_tgt: int
+    num_src: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.src_local.shape[0]
+
+
+def partition_edges_ring(src: np.ndarray, tgt: np.ndarray, num_src: int,
+                         num_tgt: int, num_shards: int,
+                         pad_multiple: int = 128) -> RingEdgePartitions:
+    """Bucket target-sorted edges by (target shard, source shard).
+
+    The monolithic all-gather of `edge_partitioned_spmm` becomes a ring of
+    P-1 neighbor ppermutes; at ring step s each device aggregates exactly the
+    bucket whose sources live in the block it currently holds, so the next
+    block's transfer overlaps the current bucket's gather+segment-sum.
+    """
+    src = np.asarray(src, np.int32)
+    tgt = np.asarray(tgt, np.int32)
+    n = int(np.searchsorted(tgt, num_tgt))  # drop trailing padding
+    src, tgt = src[:n], tgt[:n]
+    P = num_shards
+    rows = _round_up(-(-num_tgt // P), 8)
+    srows = _round_up(-(-num_src // P), 8)
+    tshard = tgt // rows
+    sshard = src // srows
+    counts = np.zeros((P, P), np.int64)
+    np.add.at(counts, (tshard, sshard), 1)
+    B = max(pad_multiple,
+            _round_up(int(counts.max(initial=1)), pad_multiple))
+    out_src = np.zeros((P, P, B), np.int32)
+    out_tgt = np.full((P, P, B), rows, np.int32)
+    # lexsort: bucket-major, target-ascending within bucket (edges arrive
+    # target-sorted; a stable bucket grouping preserves that order)
+    order = np.lexsort((tgt, sshard, tshard))
+    s_s, t_s, ts_s, ss_s = src[order], tgt[order], tshard[order], sshard[order]
+    flat_bucket = ts_s * P + ss_s
+    bounds = np.searchsorted(flat_bucket, np.arange(P * P + 1))
+    for p in range(P):
+        for q in range(P):
+            lo, hi = int(bounds[p * P + q]), int(bounds[p * P + q + 1])
+            out_src[p, q, : hi - lo] = s_s[lo:hi] - q * srows
+            out_tgt[p, q, : hi - lo] = t_s[lo:hi] - p * rows
+    return RingEdgePartitions(src_local=out_src, tgt_local=out_tgt,
+                              rows_per_shard=rows, src_rows_per_shard=srows,
+                              num_tgt=num_tgt, num_src=num_src)
+
+
+def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
+                               parts: RingEdgePartitions,
+                               axis: str = "model") -> jax.Array:
+    """One hop with the exchange overlapped against local aggregation.
+
+    x_sharded: [P*src_rows, D] laid out P(axis, None). Each ring step first
+    launches the ppermute of the current block to the ring neighbor, then
+    aggregates the bucket of edges whose sources sit in that block — XLA's
+    latency-hiding scheduler runs the collective-permute concurrently with
+    the gather + segment-sum (the collective-matmul pattern). Differentiable
+    through shard_map/scan AD (ppermute transposes to the reverse ring).
+    Returns [P*rows, D] laid out P(axis, None); slice [:num_tgt].
+    """
+    P = parts.num_shards
+    rows = parts.rows_per_shard
+    src_b = jnp.asarray(parts.src_local)
+    tgt_b = jnp.asarray(parts.tgt_local)
+    perm = [(i, (i + 1) % P) for i in range(P)]
+
+    def local_fn(x_shard, src_p, tgt_p):
+        p = jax.lax.axis_index(axis)
+
+        def body(carry, s):
+            block, acc = carry
+            # send early: the transfer rides ICI while we aggregate locally
+            nxt = jax.lax.ppermute(block, axis, perm) if P > 1 else block
+            q = jax.lax.rem(p - s + P, P)
+            sb = jax.lax.dynamic_index_in_dim(src_p[0], q, 0, keepdims=False)
+            tb = jax.lax.dynamic_index_in_dim(tgt_p[0], q, 0, keepdims=False)
+            msgs = jnp.take(block, sb, axis=0)
+            acc = acc + jax.ops.segment_sum(
+                msgs, tb, num_segments=rows + 1, indices_are_sorted=True)
+            return (nxt, acc), None
+
+        acc0 = jnp.zeros((rows + 1, x_shard.shape[-1]), x_shard.dtype)
+        # the carry must be marked device-varying over the ring axis or the
+        # scan's carry types disagree (shard_map vma typing)
+        acc0 = jax.lax.pvary(acc0, (axis,))
+        (_, acc), _ = jax.lax.scan(body, (x_shard, acc0),
+                                   jnp.arange(P, dtype=jnp.int32))
+        return acc[:rows]
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P_spec(axis), P_spec(axis), P_spec(axis)),
+        out_specs=P_spec(axis),
+    )
+    return fn(x_sharded, src_b, tgt_b)
+
+
+def P_spec(axis: str) -> P:
+    return P(axis, None)
+
+
+def ring_edge_partitioned_propagate(mesh: Mesh, x: jax.Array,
+                                    parts: RingEdgePartitions, leaky: float,
+                                    axis: str = "model") -> jax.Array:
+    """Ring hop + leaky-relu, sliced to the true target count."""
+    out = ring_edge_partitioned_spmm(mesh, x, parts, axis)
     out = out[: parts.num_tgt]
     return jnp.maximum(leaky * out, out)
