@@ -189,3 +189,73 @@ def test_weighted_stacked_plans_match_xla_propagation():
             weights=w)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_attention_propagate_matches_numpy():
+    from sagnn_tpu.ops.edge_attention import attention_propagate, edge_softmax
+    from sagnn_tpu.ops.spmm_pallas import _plan_args_tracked
+
+    rng = np.random.default_rng(7)
+    U, I, D, E = 300, 220, 16, 2500
+    src, tgt, t_src, t_tgt, t_ids = _random_bipartite(rng, U, I, E)
+    X = rng.standard_normal((I, D)).astype(np.float32)   # sources
+    Y = rng.standard_normal((U, D)).astype(np.float32)   # targets
+    fwd = plan_spmm(src, tgt, U, track_edges=True)
+    bwd = plan_spmm(t_src, t_tgt, I, edge_ids=t_ids)
+    fa, fnb, fnt = _plan_args_tracked(fwd)
+    ba, bnb, bnt = _plan_args_tracked(bwd)
+
+    out = attention_propagate(jnp.asarray(X), jnp.asarray(Y),
+                              jnp.asarray(tgt), fa, ba, fnb, fnt, bnb, bnt)
+
+    # numpy reference
+    s = np.einsum("ed,ed->e", X[src], Y[tgt]) / np.sqrt(D)
+    w = np.zeros(E)
+    for t in np.unique(tgt):
+        sel = tgt == t
+        e = np.exp(s[sel] - s[sel].max())
+        w[sel] = e / e.sum()
+    expect = np.zeros((U, D), np.float32)
+    np.add.at(expect, tgt, w[:, None] * X[src])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_propagate_grads_finite_and_match():
+    from sagnn_tpu.ops.edge_attention import attention_propagate
+    from sagnn_tpu.ops.spmm_pallas import _plan_args_tracked
+    from sagnn_tpu.ops.segment import gather_segment_sum
+
+    rng = np.random.default_rng(8)
+    U, I, D, E = 200, 150, 8, 1200
+    src, tgt, t_src, t_tgt, t_ids = _random_bipartite(rng, U, I, E)
+    X = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((U, D)).astype(np.float32))
+    fwd = plan_spmm(src, tgt, U, track_edges=True)
+    bwd = plan_spmm(t_src, t_tgt, I, edge_ids=t_ids)
+    fa, fnb, fnt = _plan_args_tracked(fwd)
+    ba, bnb, bnt = _plan_args_tracked(bwd)
+    tgt_d = jnp.asarray(tgt)
+
+    def f_pallas(x, y):
+        out = attention_propagate(x, y, tgt_d, fa, ba, fnb, fnt, bnb, bnt)
+        return jnp.sum(out ** 2)
+
+    def f_ref(x, y):
+        s = jnp.sum(jnp.take(x, jnp.asarray(src), axis=0)
+                    * jnp.take(y, tgt_d, axis=0), -1) / jnp.sqrt(float(D))
+        m = jax.ops.segment_max(s, tgt_d, num_segments=U,
+                                indices_are_sorted=True)
+        z = jnp.exp(s - jnp.take(m, tgt_d))
+        den = jax.ops.segment_sum(z, tgt_d, num_segments=U,
+                                  indices_are_sorted=True)
+        w = z / jnp.take(den, tgt_d)
+        out = gather_segment_sum(x, jnp.asarray(src), tgt_d, U, weights=w)
+        return jnp.sum(out ** 2)
+
+    gx, gy = jax.grad(f_pallas, argnums=(0, 1))(X, Y)
+    rx, ry = jax.grad(f_ref, argnums=(0, 1))(X, Y)
+    assert np.isfinite(np.asarray(gx)).all()
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(ry),
+                               rtol=1e-4, atol=1e-4)
