@@ -128,8 +128,8 @@ def reg_loss(params: Dict) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
-                          cfg: ModelConfig, num_users: int, num_items: int
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          cfg: ModelConfig, num_users: int, num_items: int,
+                          mesh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LightGCN-style propagation per interval (model.py:118-129).
 
     Returns user_vec [g, U, D], item_vec [g, I, D] — the layer-summed
@@ -139,9 +139,48 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     Backend selection: "xla" uses jax.ops.segment_sum (gather+scatter);
     "pallas" uses the one-hot-matmul kernel with scan-stacked plans
     (graphs["plans"], built by ops.spmm_pallas.build_stacked_plans) — its
-    custom VJP also removes the scatter from the backward pass.
+    custom VJP also removes the scatter from the backward pass; "ring" runs
+    explicitly edge-partitioned hops over the mesh's 'model' axis with the
+    boundary exchange overlapped against local aggregation (graphs["ring"],
+    built by parallel.edge_partition.build_interval_ring_partitions).
     """
     leaky = cfg.leaky
+    if cfg.spmm_backend == "ring":
+        assert mesh is not None, "ring backend needs the model's mesh"
+        assert "ring" in graphs, "ring backend needs graphs['ring']"
+        from sagnn_tpu.parallel.edge_partition import (
+            _round_up, ring_spmm_arrays)
+        ring = graphs["ring"]
+        P_ = mesh.shape["model"]
+        rows_u = _round_up(-(-num_users // P_), 8)
+        rows_i = _round_up(-(-num_items // P_), 8)
+        pad_u = P_ * rows_u - num_users
+        pad_i = P_ * rows_i - num_items
+
+        def hop(x, src_l, tgt_l, rows):
+            agg = ring_spmm_arrays(mesh, x, src_l, tgt_l, rows)
+            return jnp.maximum(leaky * agg, agg)
+
+        def one_interval(_, inp):
+            u0, i0, us, ut, isrc, itgt = inp
+            u0 = jnp.pad(u0, ((0, pad_u), (0, 0)))
+            i0 = jnp.pad(i0, ((0, pad_i), (0, 0)))
+            embs0, embs1 = [u0], [i0]
+            for _l in range(cfg.gnn_layer):
+                a0 = hop(embs1[-1], us, ut, rows_u)
+                a1 = hop(embs0[-1], isrc, itgt, rows_i)
+                embs0.append(a0 + embs0[-1])
+                embs1.append(a1 + embs1[-1])
+            return None, (sum(embs0[1:], embs0[0])[:num_users],
+                          sum(embs1[1:], embs1[0])[:num_items])
+
+        _, (user_vec, item_vec) = jax.lax.scan(
+            one_interval, None,
+            (params["reg"]["u_embed"], params["reg"]["i_embed"],
+             ring["u_src_local"], ring["u_tgt_local"],
+             ring["i_src_local"], ring["i_tgt_local"]))
+        return user_vec, item_vec
+
     use_pallas = cfg.spmm_backend == "pallas"
     weighted = cfg.edge_norm is not None
     if weighted:
@@ -363,10 +402,14 @@ class SelfGNN:
     same compiled executable serves any graph with the same padded shape.
     """
 
-    def __init__(self, cfg: ModelConfig, num_users: int, num_items: int):
+    def __init__(self, cfg: ModelConfig, num_users: int, num_items: int,
+                 mesh=None):
+        """mesh: required only for cfg.spmm_backend == "ring" — the
+        shard_map ring hops embed the concrete mesh."""
         self.cfg = cfg
         self.num_users = num_users
         self.num_items = num_items
+        self.mesh = mesh
 
     def init(self, key: jax.Array) -> Dict:
         return init_params(key, self.cfg, self.num_users, self.num_items)
@@ -379,7 +422,8 @@ class SelfGNN:
                  user_vec [g,U,D], item_vec [g,I,D]).
         """
         user_vec, item_vec = _interval_propagation(
-            params, graphs, self.cfg, self.num_users, self.num_items)
+            params, graphs, self.cfg, self.num_users, self.num_items,
+            mesh=self.mesh)
         final_user, final_item = _temporal_fusion(
             params, user_vec, item_vec, self.cfg, train, rng)
         return final_user, final_item, user_vec, item_vec

@@ -209,24 +209,22 @@ def partition_edges_ring(src: np.ndarray, tgt: np.ndarray, num_src: int,
                               num_tgt=num_tgt, num_src=num_src)
 
 
-def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
-                               parts: RingEdgePartitions,
-                               axis: str = "model") -> jax.Array:
-    """One hop with the exchange overlapped against local aggregation.
+def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
+                     tgt_local: jax.Array, rows: int,
+                     axis: str = "model") -> jax.Array:
+    """Core ring hop on traced arrays (composes with jit/scan).
 
-    x_sharded: [P*src_rows, D] laid out P(axis, None). Each ring step first
-    launches the ppermute of the current block to the ring neighbor, then
-    aggregates the bucket of edges whose sources sit in that block — XLA's
-    latency-hiding scheduler runs the collective-permute concurrently with
-    the gather + segment-sum (the collective-matmul pattern). Differentiable
-    through shard_map/scan AD (ppermute transposes to the reverse ring).
+    x_sharded: [P*src_rows, D] laid out P(axis, None); src_local/tgt_local:
+    [P, P, B] (see RingEdgePartitions). Each ring step first launches the
+    ppermute of the current block to the ring neighbor, then aggregates the
+    bucket of edges whose sources sit in that block — XLA's latency-hiding
+    scheduler runs the collective-permute concurrently with the gather +
+    segment-sum (the collective-matmul pattern). Differentiable through
+    shard_map/scan AD (ppermute transposes to the reverse ring).
     Returns [P*rows, D] laid out P(axis, None); slice [:num_tgt].
     """
-    P = parts.num_shards
-    rows = parts.rows_per_shard
-    src_b = jnp.asarray(parts.src_local)
-    tgt_b = jnp.asarray(parts.tgt_local)
-    perm = [(i, (i + 1) % P) for i in range(P)]
+    P_ = src_local.shape[0]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
 
     def local_fn(x_shard, src_p, tgt_p):
         p = jax.lax.axis_index(axis)
@@ -234,8 +232,8 @@ def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
         def body(carry, s):
             block, acc = carry
             # send early: the transfer rides ICI while we aggregate locally
-            nxt = jax.lax.ppermute(block, axis, perm) if P > 1 else block
-            q = jax.lax.rem(p - s + P, P)
+            nxt = jax.lax.ppermute(block, axis, perm) if P_ > 1 else block
+            q = jax.lax.rem(p - s + P_, P_)
             sb = jax.lax.dynamic_index_in_dim(src_p[0], q, 0, keepdims=False)
             tb = jax.lax.dynamic_index_in_dim(tgt_p[0], q, 0, keepdims=False)
             msgs = jnp.take(block, sb, axis=0)
@@ -248,7 +246,7 @@ def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
         # scan's carry types disagree (shard_map vma typing)
         acc0 = jax.lax.pvary(acc0, (axis,))
         (_, acc), _ = jax.lax.scan(body, (x_shard, acc0),
-                                   jnp.arange(P, dtype=jnp.int32))
+                                   jnp.arange(P_, dtype=jnp.int32))
         return acc[:rows]
 
     fn = shard_map(
@@ -256,7 +254,16 @@ def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
         in_specs=(P_spec(axis), P_spec(axis), P_spec(axis)),
         out_specs=P_spec(axis),
     )
-    return fn(x_sharded, src_b, tgt_b)
+    return fn(x_sharded, src_local, tgt_local)
+
+
+def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
+                               parts: RingEdgePartitions,
+                               axis: str = "model") -> jax.Array:
+    """Host-plan wrapper around ring_spmm_arrays (tests, benchmarks)."""
+    return ring_spmm_arrays(mesh, x_sharded, jnp.asarray(parts.src_local),
+                            jnp.asarray(parts.tgt_local),
+                            parts.rows_per_shard, axis)
 
 
 def P_spec(axis: str) -> P:
@@ -270,3 +277,45 @@ def ring_edge_partitioned_propagate(mesh: Mesh, x: jax.Array,
     out = ring_edge_partitioned_spmm(mesh, x, parts, axis)
     out = out[: parts.num_tgt]
     return jnp.maximum(leaky * out, out)
+
+
+def build_interval_ring_partitions(gb, num_shards: int,
+                                   pad_multiple: int = 128) -> dict:
+    """Ring partitions for every interval graph, both directions, stacked
+    [g, P, P, B] with a common bucket size per direction (lax.scan-ready).
+
+    gb: data.graph.IntervalGraphs. Returns
+      {"u_src_local"/"u_tgt_local": [g,P,P,Bu], "i_*": [g,P,P,Bi],
+       "rows_u"/"rows_i": padded target rows per shard (also the source rows
+       of the opposite direction — both use round_up(ceil(N/P), 8), so one
+       hop's output layout IS the next hop's input layout),
+       "num_users"/"num_items": true node counts}
+    """
+    g = gb.graph_num
+    U, I = gb.num_users, gb.num_items
+    pu = [partition_edges_ring(gb.u_src[k], gb.u_tgt[k], I, U, num_shards,
+                               pad_multiple) for k in range(g)]
+    pi = [partition_edges_ring(gb.i_src[k], gb.i_tgt[k], U, I, num_shards,
+                               pad_multiple) for k in range(g)]
+
+    def stack(parts, rows):
+        B = max(p.src_local.shape[-1] for p in parts)
+        P_ = parts[0].num_shards
+        src = np.zeros((g, P_, P_, B), np.int32)
+        tgt = np.full((g, P_, P_, B), rows, np.int32)
+        for k, p in enumerate(parts):
+            b = p.src_local.shape[-1]
+            src[k, :, :, :b] = p.src_local
+            tgt[k, :, :, :b] = p.tgt_local
+        return src, tgt
+
+    u_src, u_tgt = stack(pu, pu[0].rows_per_shard)
+    i_src, i_tgt = stack(pi, pi[0].rows_per_shard)
+    assert pu[0].src_rows_per_shard == pi[0].rows_per_shard  # item layout
+    assert pi[0].src_rows_per_shard == pu[0].rows_per_shard  # user layout
+    return {
+        "u_src_local": u_src, "u_tgt_local": u_tgt,
+        "i_src_local": i_src, "i_tgt_local": i_tgt,
+        "rows_u": pu[0].rows_per_shard, "rows_i": pi[0].rows_per_shard,
+        "num_users": U, "num_items": I,
+    }

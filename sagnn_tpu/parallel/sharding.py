@@ -58,10 +58,16 @@ def graph_shardings(rules: ShardingRules, graphs: Dict) -> Dict:
     """[g, E] edge arrays: shard the edge axis over 'model'.
 
     edge_weights is [2, g, E] (direction-major) — same edge-axis sharding,
-    one axis deeper."""
+    one axis deeper. "ring" holds [g, P, P, B] per-shard bucket arrays whose
+    TARGET-shard axis (1) must align with the ring's mesh axis."""
     s = rules.named(None, rules.model_axis)
     s3 = rules.named(None, None, rules.model_axis)
-    return {k: (s3 if k == "edge_weights" else s) for k in graphs}
+    s_ring = rules.named(None, rules.model_axis, None, None)
+    out = {}
+    for k in graphs:
+        out[k] = (s_ring if k == "ring"
+                  else s3 if k == "edge_weights" else s)
+    return out
 
 
 def batch_shardings(rules: ShardingRules, batch) -> object:

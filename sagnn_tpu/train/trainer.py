@@ -92,7 +92,10 @@ class Trainer:
             f"{cfg.model.graph_num}")
         self.cfg = cfg
         self.bundle = bundle
-        self.model = SelfGNN(cfg.model, bundle.num_users, bundle.num_items)
+        if cfg.model.spmm_backend == "ring":
+            assert mesh is not None, "spmm_backend='ring' requires a mesh"
+        self.model = SelfGNN(cfg.model, bundle.num_users, bundle.num_items,
+                             mesh=mesh)
         self.graph_blocks = compile_interval_graphs(
             bundle.sub_mats, pad_multiple=pad_multiple)
         self.graphs = graphs_to_device(self.graph_blocks)
@@ -117,6 +120,15 @@ class Trainer:
                 "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
                 "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},
             }
+        if cfg.model.spmm_backend == "ring":
+            from sagnn_tpu.parallel.edge_partition import (
+                build_interval_ring_partitions)
+            ring = build_interval_ring_partitions(
+                self.graph_blocks, mesh.shape["model"])
+            self.graphs["ring"] = {
+                k: jnp.asarray(ring[k])
+                for k in ("u_src_local", "u_tgt_local",
+                          "i_src_local", "i_tgt_local")}
         self.sampler = Sampler(
             bundle=bundle, batch=cfg.train.batch,
             samp_num=cfg.train.samp_num, ssl_num=cfg.train.ssl_num,

@@ -186,3 +186,81 @@ def test_ring_matches_allgather_variant():
         out_a = edge_partitioned_spmm(mesh, x_ag, ag)
     np.testing.assert_allclose(np.asarray(out_r)[:U], np.asarray(out_a)[:U],
                                rtol=1e-5, atol=1e-4)
+
+
+def test_ring_model_backend_matches_xla():
+    """Full-model propagation parity: spmm_backend='ring' over a 4-shard
+    mesh vs the single-logical-device XLA path."""
+    import dataclasses
+    from sagnn_tpu.config import ModelConfig
+    from sagnn_tpu.data.graph import compile_interval_graphs
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.models.selfgnn import SelfGNN, _interval_propagation
+    from sagnn_tpu.parallel.edge_partition import (
+        build_interval_ring_partitions)
+    from sagnn_tpu.train.trainer import graphs_to_device
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               seed=21)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    mesh = make_mesh(data=2, model=4)
+    ring = build_interval_ring_partitions(gb, 4, pad_multiple=8)
+    graphs["ring"] = {k: jnp.asarray(ring[k])
+                      for k in ("u_src_local", "u_tgt_local",
+                                "i_src_local", "i_tgt_local")}
+    base = dict(graph_num=2, gnn_layer=2, latdim=16, num_heads=4, ssldim=8,
+                pos_length=10)
+    cfg_x = ModelConfig(**base)
+    cfg_r = dataclasses.replace(cfg_x, spmm_backend="ring")
+    params = SelfGNN(cfg_x, 48, 64).init(jax.random.PRNGKey(5))
+
+    uv_x, iv_x = _interval_propagation(params, graphs, cfg_x, 48, 64)
+    with mesh:
+        uv_r, iv_r = _interval_propagation(params, graphs, cfg_r, 48, 64,
+                                           mesh=mesh)
+    np.testing.assert_allclose(np.asarray(uv_r), np.asarray(uv_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iv_r), np.asarray(iv_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_model_backend_grads_match():
+    import dataclasses
+    from sagnn_tpu.config import ModelConfig
+    from sagnn_tpu.data.graph import compile_interval_graphs
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.models.selfgnn import SelfGNN, _interval_propagation
+    from sagnn_tpu.parallel.edge_partition import (
+        build_interval_ring_partitions)
+    from sagnn_tpu.train.trainer import graphs_to_device
+
+    bundle = synthetic_dataset(num_users=32, num_items=40, graph_num=2,
+                               seed=22)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    mesh = make_mesh(data=1, model=8)
+    ring = build_interval_ring_partitions(gb, 8, pad_multiple=8)
+    graphs["ring"] = {k: jnp.asarray(ring[k])
+                      for k in ("u_src_local", "u_tgt_local",
+                                "i_src_local", "i_tgt_local")}
+    base = dict(graph_num=2, gnn_layer=2, latdim=16, num_heads=4, ssldim=8,
+                pos_length=10)
+    cfg_x = ModelConfig(**base)
+    cfg_r = dataclasses.replace(cfg_x, spmm_backend="ring")
+    params = SelfGNN(cfg_x, 32, 40).init(jax.random.PRNGKey(6))
+
+    def loss(params, cfg, mesh_arg):
+        uv, iv = _interval_propagation(params, graphs, cfg, 32, 40,
+                                       mesh=mesh_arg)
+        return jnp.sum(uv ** 2) + jnp.sum(iv ** 2)
+
+    gx = jax.grad(lambda p: loss(p, cfg_x, None))(params)
+    with mesh:
+        gr = jax.grad(lambda p: loss(p, cfg_r, mesh))(params)
+    np.testing.assert_allclose(np.asarray(gr["reg"]["u_embed"]),
+                               np.asarray(gx["reg"]["u_embed"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr["reg"]["i_embed"]),
+                               np.asarray(gx["reg"]["i_embed"]),
+                               rtol=1e-4, atol=1e-4)
