@@ -122,6 +122,16 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
         edge_ids = np.arange(num_edges, dtype=np.int32)
     src, tgt = src[:num_edges], tgt[:num_edges]
     assert (np.diff(tgt) >= 0).all(), "edges must be sorted by target"
+
+    # native C++ planner (byte-identical schedule, ~50-100x faster host
+    # loop; ops/native_planner.py) — the Python path below stays as the
+    # reference and fallback.
+    from sagnn_tpu.ops import native_planner
+    if num_edges >= 100_000 and native_planner.available():
+        return _plan_spmm_native(src, tgt, edge_ids, num_edges, num_tgt,
+                                 num_chunks, sort_sources, chunk_size,
+                                 num_slices, track_edges, pad_id)
+
     if sort_sources and num_edges:
         order = np.lexsort((src, tgt // R))
         src, tgt = src[order], tgt[order]
@@ -661,6 +671,37 @@ def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
         "num_blocks_i": i_plans[0].num_blocks,
         "num_users": num_users, "num_items": num_items,
     }
+
+
+def _plan_spmm_native(src, tgt, edge_ids, num_edges, num_tgt, num_chunks,
+                      sort_sources, chunk_size, num_slices, track_edges,
+                      pad_id) -> SpmmPlan:
+    """plan_spmm's hot loop via native/planner.cc (see plan_spmm)."""
+    from sagnn_tpu.ops import native_planner
+    CS = chunk_size
+    num_blocks = max(1, -(-num_tgt // R))
+    nc = native_planner.native_count(tgt, num_edges, num_tgt, R, CS)
+    target_nc = num_chunks or max(1, nc)
+    assert nc <= target_nc, f"plan needs {nc} chunks > padded {target_nc}"
+    if num_slices > 1:
+        target_nc = -(-target_nc // num_slices) * num_slices
+    out_src, out_tl, out_cb, out_cf, out_eslot = native_planner.native_fill(
+        src, tgt, edge_ids, num_edges, num_tgt, R, CS, target_nc, pad_id,
+        sort_sources, track_edges)
+    if num_slices > 1:
+        per = target_nc // num_slices
+        out_cf[np.arange(num_slices) * per] = 1
+    edge_slot = edge_pos = None
+    if track_edges:
+        edge_slot = out_eslot
+        edge_pos = np.full(pad_id, len(edge_slot), np.int32)
+        real = edge_slot < pad_id
+        edge_pos[edge_slot[real]] = np.nonzero(real)[0].astype(np.int32)
+    return SpmmPlan(
+        src=out_src, tgt_local=out_tl, chunk_block=out_cb, chunk_first=out_cf,
+        num_blocks=num_blocks, num_tgt=num_tgt,
+        edge_slot=edge_slot, edge_pos=edge_pos, num_edge_ids=pad_id,
+    )
 
 
 def plan_spmm_repad(p: SpmmPlan, num_chunks: int) -> SpmmPlan:

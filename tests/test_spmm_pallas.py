@@ -134,3 +134,39 @@ def test_model_pallas_matches_xla():
                     jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_native_planner_matches_python():
+    """native/planner.cc must produce byte-identical schedules to the
+    Python planner (stable source sort within target blocks, same chunk and
+    padding conventions, same edge tracking)."""
+    from sagnn_tpu.ops import native_planner
+    from sagnn_tpu.ops.spmm_pallas import _plan_spmm_native
+
+    if not native_planner.available():
+        pytest.skip("native planner not built")
+    rng = np.random.default_rng(3)
+    for U, I, E, slices, track in ((700, 500, 9000, 1, False),
+                                   (700, 500, 9000, 1, True),
+                                   (64, 500, 5000, 4, True),
+                                   (2000, 100, 50, 1, True)):
+        src, tgt = _random_graph(rng, U, I, E)
+        eids = (np.random.default_rng(5).permutation(E).astype(np.int32)
+                if track else None)
+        # python reference path (below the native-dispatch threshold)
+        py = plan_spmm(src, tgt, U, num_slices=slices, edge_ids=eids,
+                       track_edges=track)
+        nat = _plan_spmm_native(src.astype(np.int32), tgt.astype(np.int32),
+                                (eids if eids is not None else
+                                 (np.arange(E, dtype=np.int32) if track
+                                  else None)),
+                                E, U, None, True, 1024, slices, track,
+                                len(src))
+        np.testing.assert_array_equal(nat.src, py.src)
+        np.testing.assert_array_equal(nat.tgt_local, py.tgt_local)
+        np.testing.assert_array_equal(nat.chunk_block, py.chunk_block)
+        np.testing.assert_array_equal(nat.chunk_first, py.chunk_first)
+        assert nat.num_blocks == py.num_blocks
+        if track:
+            np.testing.assert_array_equal(nat.edge_slot, py.edge_slot)
+            np.testing.assert_array_equal(nat.edge_pos, py.edge_pos)
