@@ -45,6 +45,15 @@ class ModelConfig:
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).
     edge_norm: Optional[str] = None  # None | "sym_sqrt"
+    # rematerialize the per-interval propagation in the backward pass
+    # (jax.checkpoint): activations of the g×gnn_layer×2 hops are recomputed
+    # instead of stored — trades FLOPs for HBM on large graphs
+    remat_propagation: bool = False
+    # compute dtype for the temporal-fusion + sequence-attention stack
+    # (LSTM, MHSAs): "bf16" halves the bandwidth of the [N, g, D] streams on
+    # the MXU-heavy fusion path; params and losses stay f32. Parity mode
+    # requires f32 (Q5's raw-exp attention overflows bf16).
+    fusion_dtype: str = "f32"  # "f32" | "bf16"
 
     @property
     def head_dim(self) -> int:

@@ -145,6 +145,12 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     built by parallel.edge_partition.build_interval_ring_partitions).
     """
     leaky = cfg.leaky
+
+    def scan_body(f):
+        # remat_propagation: recompute hop activations in the backward pass
+        # instead of storing g*gnn_layer*2 [N, D] intermediates
+        return jax.checkpoint(f) if cfg.remat_propagation else f
+
     if cfg.spmm_backend == "ring":
         assert mesh is not None, "ring backend needs the model's mesh"
         assert "ring" in graphs, "ring backend needs graphs['ring']"
@@ -175,7 +181,7 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
                           sum(embs1[1:], embs1[0])[:num_items])
 
         _, (user_vec, item_vec) = jax.lax.scan(
-            one_interval, None,
+            scan_body(one_interval), None,
             (params["reg"]["u_embed"], params["reg"]["i_embed"],
              ring["u_src_local"], ring["u_tgt_local"],
              ring["i_src_local"], ring["i_tgt_local"]))
@@ -224,7 +230,7 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
         w_canon = (graphs["edge_weights"][0] if weighted else
                    jnp.zeros((cfg.graph_num, 0), jnp.float32))
         _, (user_vec, item_vec) = jax.lax.scan(
-            one_interval, None,
+            scan_body(one_interval), None,
             (params["reg"]["u_embed"], params["reg"]["i_embed"],
              graphs["plans"]["u"], graphs["plans"]["i"], w_canon))
         return user_vec, item_vec
@@ -250,7 +256,7 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
         zeros = jnp.zeros((cfg.graph_num, 0), jnp.float32)
         w_u = w_i = zeros
     _, (user_vec, item_vec) = jax.lax.scan(
-        one_interval, None,
+        scan_body(one_interval), None,
         (params["reg"]["u_embed"], params["reg"]["i_embed"],
          graphs["u_src"], graphs["u_tgt"], graphs["i_src"], graphs["i_tgt"],
          w_u, w_i))
@@ -264,29 +270,44 @@ def _temporal_fusion(params: Dict, user_vec: jnp.ndarray,
     """Shared LSTM + interval MHSA + mean (model.py:131-155).
 
     Returns final_user [U, D], final_item [I, D].
+
+    fusion_dtype="bf16" runs the whole stack in bf16 (params cast on the fly
+    — master weights stay f32, grads flow through the cast; the MXU-heavy
+    [N, g, D] streams halve their bandwidth). Parity (Q5 raw-exp attention)
+    requires f32, so bf16 forces the stable-softmax attention variant.
     """
     free = params["free"]
-    user_t = jnp.transpose(user_vec, (1, 0, 2))  # [U, g, D]
-    item_t = jnp.transpose(item_vec, (1, 0, 2))  # [I, g, D]
+    bf16 = cfg.fusion_dtype == "bf16"
+    stable = cfg.stable_softmax or bf16
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), t) if bf16 else t
+
+    user_t = cast(jnp.transpose(user_vec, (1, 0, 2)))  # [U, g, D]
+    item_t = cast(jnp.transpose(item_vec, (1, 0, 2)))  # [I, g, D]
 
     if train and rng is not None and cfg.keep_rate < 1.0:
         ku, ki = jax.random.split(rng)
     else:
         ku = ki = None
-    user_t = lstm_scan(free["lstm"], user_t, keep_rate=cfg.keep_rate,
+    lstm_p = cast(free["lstm"])
+    user_t = lstm_scan(lstm_p, user_t, keep_rate=cfg.keep_rate,
                        dropout_key=ku)
-    item_t = lstm_scan(free["lstm"], item_t, keep_rate=cfg.keep_rate,
+    item_t = lstm_scan(lstm_p, item_t, keep_rate=cfg.keep_rate,
                        dropout_key=ki)
 
+    ln_u, ln_i = cast(free["ln_user"]), cast(free["ln_item"])
     mu = multi_head_self_attention(
-        free["mhsa_user"],
-        layer_norm(user_t, free["ln_user"]["scale"], free["ln_user"]["shift"]),
-        cfg.num_heads, stable=cfg.stable_softmax)
+        cast(free["mhsa_user"]),
+        layer_norm(user_t, ln_u["scale"], ln_u["shift"]),
+        cfg.num_heads, stable=stable)
     mi = multi_head_self_attention(
-        free["mhsa_item"],
-        layer_norm(item_t, free["ln_item"]["scale"], free["ln_item"]["shift"]),
-        cfg.num_heads, stable=cfg.stable_softmax)
-    return jnp.mean(mu, axis=1), jnp.mean(mi, axis=1)
+        cast(free["mhsa_item"]),
+        layer_norm(item_t, ln_i["scale"], ln_i["shift"]),
+        cfg.num_heads, stable=stable)
+    return (jnp.mean(mu, axis=1).astype(jnp.float32),
+            jnp.mean(mi, axis=1).astype(jnp.float32))
 
 
 def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
@@ -297,13 +318,25 @@ def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
     [B, 1, D] before the attention stack. With
     cfg.per_token_seq_attention=True, true per-token masked self-attention
     over the [B, L, D] sequence runs instead (the non-parity "fixed"
-    variant). Returns att_user [B, D]."""
-    free = params["free"]
+    variant). Returns att_user [B, D].
+
+    fusion_dtype="bf16" runs the attention stack in bf16 (see
+    _temporal_fusion); the returned vector is cast back to f32."""
+    bf16 = cfg.fusion_dtype == "bf16"
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), t) if bf16 else t
+
+    free = cast(params["free"])
+    stable_pool = cfg.stable_softmax or bf16
     seq_emb = jnp.take(item_att_emb, seq, axis=0)          # [B, L, D]
+    seq_emb = cast(seq_emb)
+    seq_mask = cast(seq_mask)
+    pos_embed = cast(params["reg"]["pos_embed"])
 
     if cfg.per_token_seq_attention:
-        pos = jnp.broadcast_to(params["reg"]["pos_embed"][None],
-                               seq_emb.shape)
+        pos = jnp.broadcast_to(pos_embed[None], seq_emb.shape)
         x = layer_norm(seq_emb, free["seq_ln_item"]["scale"],
                        free["seq_ln_item"]["shift"])
         x = x + layer_norm(pos, free["seq_ln_pos"]["scale"],
@@ -316,11 +349,12 @@ def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
                 layer_norm(x, ln["scale"], ln["shift"]),
                 cfg.num_heads, stable=True, mask=seq_mask)
             x = leaky_relu(h, cfg.leaky) + x
-        return jnp.sum(x * seq_mask[:, :, None], axis=1)   # [B, D]
+        return jnp.sum(x * seq_mask[:, :, None],
+                       axis=1).astype(jnp.float32)         # [B, D]
 
     pooled_items = jnp.einsum("bl,bld->bd", seq_mask, seq_emb)[:, None, :]
     pooled_pos = jnp.einsum(
-        "bl,ld->bd", seq_mask, params["reg"]["pos_embed"])[:, None, :]
+        "bl,ld->bd", seq_mask, pos_embed)[:, None, :]
 
     x = layer_norm(pooled_items, free["seq_ln_item"]["scale"],
                    free["seq_ln_item"]["shift"])

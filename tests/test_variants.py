@@ -199,3 +199,62 @@ def test_edge_norm_variant_grads_match():
     np.testing.assert_allclose(np.asarray(gx["reg"]["i_embed"]),
                                np.asarray(gp["reg"]["i_embed"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_remat_propagation_same_values_and_grads():
+    """remat_propagation must not change outputs or gradients (only the
+    backward-pass memory/recompute schedule)."""
+    import dataclasses
+    from sagnn_tpu.models.selfgnn import _interval_propagation
+
+    bundle = synthetic_dataset(num_users=32, num_items=40, graph_num=2,
+                               seed=13)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    base = ModelConfig(graph_num=2, gnn_layer=2, latdim=16, num_heads=4,
+                       ssldim=8, pos_length=10)
+    remat = dataclasses.replace(base, remat_propagation=True)
+    params = SelfGNN(base, 32, 40).init(jax.random.PRNGKey(7))
+
+    def loss(p, cfg):
+        uv, iv = _interval_propagation(p, graphs, cfg, 32, 40)
+        return jnp.sum(uv ** 2) + jnp.sum(iv ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, base))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, remat))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0["reg"]["u_embed"]),
+                               np.asarray(g1["reg"]["u_embed"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fusion_dtype_bf16_runs_and_tracks_f32():
+    """bf16 fusion stack: finite, close to the f32 path, grads flow."""
+    import dataclasses
+    bundle = synthetic_dataset(num_users=24, num_items=40, graph_num=2,
+                               seed=14)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    base = ModelConfig(graph_num=2, gnn_layer=1, att_layer=2, latdim=16,
+                       num_heads=4, ssldim=8, pos_length=10,
+                       stable_softmax=True)
+    bf16 = dataclasses.replace(base, fusion_dtype="bf16")
+    m32 = SelfGNN(base, 24, 40)
+    mbf = SelfGNN(bf16, 24, 40)
+    params = m32.init(jax.random.PRNGKey(8))
+    fu32, fi32, _, _ = m32.encode(params, graphs)
+    fubf, fibf, _, _ = mbf.encode(params, graphs)
+    assert fubf.dtype == jnp.float32  # cast back at the boundary
+    assert np.isfinite(np.asarray(fubf)).all()
+    # bf16 has ~3 decimal digits; outputs track within that
+    np.testing.assert_allclose(np.asarray(fubf), np.asarray(fu32),
+                               rtol=0.05, atol=0.05)
+
+    def loss(p, m):
+        fu, fi, _, _ = m.encode(p, graphs)
+        return jnp.sum(fu ** 2) + jnp.sum(fi ** 2)
+
+    g = jax.grad(lambda p: loss(p, mbf))(params)
+    leaves = jax.tree_util.tree_leaves(g["free"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
