@@ -54,6 +54,22 @@ def parse_args() -> argparse.Namespace:
                    dest="test_mode", default=None)
     p.add_argument("--seed", type=int)
     p.add_argument("--ckpt_root", default="./Models")
+    # TPU-native extensions (no reference analog)
+    p.add_argument("--spmm_backend", choices=["xla", "pallas", "ring"],
+                   help="propagation backend (ring needs --mesh_model > 1)")
+    p.add_argument("--edge_norm", choices=["sym_sqrt"],
+                   help="sym-sqrt normalized propagation (non-parity)")
+    p.add_argument("--fusion_dtype", choices=["f32", "bf16"],
+                   help="temporal-fusion/attention compute dtype")
+    p.add_argument("--remat", action="store_true", default=None,
+                   dest="remat_propagation",
+                   help="rematerialize propagation in the backward pass")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="mesh 'data' axis size (0 = no explicit mesh)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="mesh 'model' axis size")
+    p.add_argument("--profile_dir",
+                   help="write a jax.profiler trace of epoch 0 here")
     return p.parse_args()
 
 
@@ -94,8 +110,20 @@ def main() -> None:
         cfg = Config(model=dataclasses.replace(
             cfg.model, graph_num=bundle.graph_num),
             train=cfg.train, data=cfg.data)
-    trainer = Trainer(cfg, bundle, ckpt_root=ns.ckpt_root)
+    mesh = None
+    if ns.mesh_data or ns.mesh_model > 1:
+        from sagnn_tpu.parallel.mesh import make_mesh
+        data_ax = ns.mesh_data or max(
+            1, jax.device_count() // ns.mesh_model)
+        mesh = make_mesh(data=data_ax, model=ns.mesh_model)
+        log(f"Mesh: data={data_ax} model={ns.mesh_model}")
+    trainer = Trainer(cfg, bundle, ckpt_root=ns.ckpt_root, mesh=mesh)
     log("Model Prepared")
+    if ns.profile_dir:
+        from sagnn_tpu.utils.profiling import trace
+        with trace(ns.profile_dir):
+            trainer.train_epoch(verbose=False)
+        log(f"Profile trace written to {ns.profile_dir}")
     trainer.run(resume=cfg.train.load_model is not None)
 
 

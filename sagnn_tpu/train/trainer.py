@@ -315,6 +315,20 @@ class Trainer:
         for ep in range(st_epoch, cfg.train.epoch):
             test = (ep % cfg.train.tst_epoch == 0)
             tr = self.train_epoch()
+            # failure detection (SURVEY.md §5: the reference has none): a
+            # non-finite epoch loss rolls the run back to the last good
+            # checkpoint instead of silently corrupting the best-NDCG state
+            if not np.isfinite(tr["Loss"]):
+                state, hist = self.ckpt.restore(self.state)
+                if state is not None:
+                    self.state = state
+                    self.history = hist
+                    log(f"NaN guard: non-finite loss at epoch {ep}; "
+                        f"restored last checkpoint and continuing")
+                    continue
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {ep} with no checkpoint to "
+                    f"restore")
             self.history.append("Train", tr)
             log(self.history.format_line("Train", ep, cfg.train.epoch, tr))
             if test:

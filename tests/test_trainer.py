@@ -81,3 +81,51 @@ def test_noise_mode(bundle, tmp_path):
         pickle.dump(noised, f)
     loaded = load_dataset(str(tmp_path / "ds"), noise_percent=0.10)
     assert loaded.num_users == bundle.num_users
+
+
+def test_nan_guard_restores_checkpoint(tmp_path):
+    """Failure detection: a non-finite epoch loss rolls back to the last
+    checkpoint and training continues (SURVEY.md §5 gap, ours to fill)."""
+    import jax.numpy as jnp
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+
+    cfg = Config(
+        model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                          num_heads=4, ssldim=8, pos_length=16,
+                          keep_rate=1.0),
+        train=TrainConfig(batch=8, samp_num=4, ssl_num=2, trn_num=16,
+                          test_size=10, epoch=2, tst_epoch=1, lr=1e-3),
+    )
+    bundle = synthetic_dataset(num_users=32, num_items=48, graph_num=2,
+                               test_size=10, seed=3)
+    tr = Trainer(cfg, bundle, ckpt_root=str(tmp_path), pad_multiple=64)
+    tr.ckpt.save(tr.state, tr.history)          # a known-good checkpoint
+    # poison the params
+    tr.state["params"]["reg"]["u_embed"] = (
+        tr.state["params"]["reg"]["u_embed"] * jnp.nan)
+    res = tr.run()
+    assert np.isfinite(res["NDCG"])
+    # params were restored (finite again)
+    assert np.isfinite(
+        np.asarray(tr.state["params"]["reg"]["u_embed"])).all()
+
+
+def test_nan_guard_raises_without_checkpoint(tmp_path):
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+
+    cfg = Config(
+        model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                          num_heads=4, ssldim=8, pos_length=16,
+                          keep_rate=1.0),
+        train=TrainConfig(batch=8, samp_num=4, ssl_num=2, trn_num=16,
+                          test_size=10, epoch=1, tst_epoch=1),
+    )
+    bundle = synthetic_dataset(num_users=32, num_items=48, graph_num=2,
+                               test_size=10, seed=3)
+    tr = Trainer(cfg, bundle, ckpt_root=str(tmp_path), pad_multiple=64)
+    tr.state["params"]["reg"]["u_embed"] = (
+        tr.state["params"]["reg"]["u_embed"] * jnp.nan)
+    with _pytest.raises(FloatingPointError):
+        tr.run()
