@@ -54,6 +54,9 @@ def parse_args() -> argparse.Namespace:
                    dest="test_mode", default=None)
     p.add_argument("--seed", type=int)
     p.add_argument("--ckpt_root", default="./Models")
+    p.add_argument("--uid", type=int, default=-1,
+                   help="dump this test-batch row's candidate scores "
+                   "(reference --uid debug mode, model.py:460-461)")
     # TPU-native extensions (no reference analog)
     p.add_argument("--spmm_backend", choices=["xla", "pallas", "ring"],
                    help="propagation backend (ring needs --mesh_model > 1)")
@@ -118,6 +121,7 @@ def main() -> None:
         mesh = make_mesh(data=data_ax, model=ns.mesh_model)
         log(f"Mesh: data={data_ax} model={ns.mesh_model}")
     trainer = Trainer(cfg, bundle, ckpt_root=ns.ckpt_root, mesh=mesh)
+    trainer.debug_uid = ns.uid
     log("Model Prepared")
     if ns.profile_dir:
         from sagnn_tpu.utils.profiling import trace

@@ -35,7 +35,15 @@ class CheckpointManager:
     def _history_path(self) -> str:
         return os.path.join(self.dir, "history.json")
 
-    def save(self, state: Dict, history: MetricsHistory) -> None:
+    @property
+    def _config_path(self) -> str:
+        return os.path.join(self.dir, "config.json")
+
+    def save(self, state: Dict, history: MetricsHistory,
+             config=None) -> None:
+        """config: optional sagnn_tpu.config.Config persisted alongside the
+        weights so inference tooling (scripts/recommend.py) can rebuild the
+        exact model without the training command line."""
         state = jax.tree_util.tree_map(np.asarray, state)
         path = self._state_dir
         tmp = path + ".tmp"
@@ -50,6 +58,22 @@ class CheckpointManager:
         os.rename(tmp, path)
         with open(self._history_path, "w") as f:
             json.dump(history.data, f)
+        if config is not None:
+            import dataclasses
+            with open(self._config_path, "w") as f:
+                json.dump(dataclasses.asdict(config), f, indent=1)
+
+    def load_config(self):
+        """Rebuild the Config saved alongside the checkpoint (or None)."""
+        if not os.path.exists(self._config_path):
+            return None
+        from sagnn_tpu.config import (Config, DataConfig, ModelConfig,
+                                      TrainConfig)
+        with open(self._config_path) as f:
+            d = json.load(f)
+        return Config(model=ModelConfig(**d["model"]),
+                      train=TrainConfig(**d["train"]),
+                      data=DataConfig(**d["data"]))
 
     def restore(self, abstract_state: Dict
                 ) -> Tuple[Optional[Dict], MetricsHistory]:

@@ -251,9 +251,12 @@ class Trainer:
             "edges_per_sec": self.edges_per_step / mean if mean else 0.0,
         }
 
-    def test_epoch(self, dump_uid: int = -1) -> Dict[str, float]:
+    def test_epoch(self, dump_uid: int | None = None) -> Dict[str, float]:
         """dump_uid >= 0 prints that batch row's candidate scores, the
-        reference's --uid debug mode (model.py:460-461)."""
+        reference's --uid debug mode (model.py:460-461); defaults to the
+        trainer-level `debug_uid` (set from the CLI --uid flag)."""
+        if dump_uid is None:
+            dump_uid = getattr(self, "debug_uid", -1)
         cfg = self.cfg
         ids = np.asarray(self.bundle.tst_usrs)
         num = len(ids)
@@ -293,7 +296,7 @@ class Trainer:
 
         def _handler(signum, _frame):
             log(f"signal {signum}: writing preemption checkpoint")
-            self.ckpt.save(self.state, self.history)
+            self.ckpt.save(self.state, self.history, self.cfg)
             raise SystemExit(128 + signum)
 
         signal.signal(signal.SIGTERM, _handler)
@@ -339,7 +342,7 @@ class Trainer:
                     "Test", ep, cfg.train.epoch,
                     {"HR": te["HR"], "NDCG": te["NDCG"]}))
                 if te["NDCG"] > max_ndcg:  # best-NDCG save policy
-                    self.ckpt.save(self.state, self.history)
+                    self.ckpt.save(self.state, self.history, self.cfg)
                     max_ndcg, max_res, max_epoch = te["NDCG"], te, ep
         final = self.test_epoch()
         log(self.history.format_line("Test", cfg.train.epoch,

@@ -1,0 +1,93 @@
+"""Batch inference CLI: top-k recommendations from a trained checkpoint.
+
+The reference has no serving surface (it only ranks precomputed candidate
+sets during eval); this is the production-inference entry point over
+`SelfGNN.recommend_top_k` (full-catalog scoring + seen-item masking).
+
+    python scripts/recommend.py --data synthetic --ckpt_root ./Models \
+        --save_path tem --users 0 1 2 --k 10
+
+Prints one JSON line per user: {"user", "items", "scores"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="synthetic")
+    ap.add_argument("--data_dir", default="./Datasets")
+    ap.add_argument("--ckpt_root", default="./Models")
+    ap.add_argument("--save_path", default="tem")
+    ap.add_argument("--users", type=int, nargs="+", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--include_seen", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    from sagnn_tpu.config import Config, PRESETS
+    from sagnn_tpu.data.io import load_dataset
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.train.checkpoint import CheckpointManager
+    from sagnn_tpu.train.trainer import Trainer
+
+    # the checkpoint carries its training Config (config.json) — the model
+    # is rebuilt from it, so no architecture flags are needed here
+    saved = CheckpointManager(args.ckpt_root, args.save_path).load_config()
+    cfg = saved if saved is not None else PRESETS.get(args.data, Config())
+    if args.data == "synthetic":
+        bundle = synthetic_dataset(num_users=2048, num_items=4096,
+                                   graph_num=cfg.model.graph_num,
+                                   test_size=cfg.train.test_size,
+                                   seed=cfg.train.seed)
+    else:
+        bundle = load_dataset(f"{args.data_dir}/{args.data}")
+    if bundle.graph_num != cfg.model.graph_num:
+        import dataclasses
+        cfg = Config(model=dataclasses.replace(
+            cfg.model, graph_num=bundle.graph_num),
+            train=dataclasses.replace(cfg.train,
+                                      save_path=args.save_path),
+            data=cfg.data)
+    tr = Trainer(cfg, bundle, ckpt_root=args.ckpt_root)
+    state, _hist = tr.ckpt.restore(tr.state)
+    if state is None:
+        print(f"no checkpoint under {args.ckpt_root}/{args.save_path}",
+              file=sys.stderr)
+        sys.exit(1)
+    tr.state = state
+
+    users = np.asarray(args.users, np.int32)
+    L = cfg.model.pos_length
+    seq = np.zeros((len(users), L), np.int32)
+    mask = np.zeros((len(users), L), np.float32)
+    for i, u in enumerate(users):
+        items = bundle.sequences[u][-L:]
+        seq[i, L - len(items):] = items
+        mask[i, L - len(items):] = 1.0
+
+    scores, items = tr.model.recommend_top_k(
+        tr.state["params"], tr.graphs, jnp.asarray(users),
+        jnp.asarray(seq), jnp.asarray(mask), k=args.k,
+        exclude_seen=not args.include_seen)
+    scores, items = np.asarray(scores), np.asarray(items)
+    for i, u in enumerate(users):
+        print(json.dumps({"user": int(u),
+                          "items": items[i].tolist(),
+                          "scores": [round(float(s), 4)
+                                     for s in scores[i]]}))
+
+
+if __name__ == "__main__":
+    main()

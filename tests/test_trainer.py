@@ -129,3 +129,25 @@ def test_nan_guard_raises_without_checkpoint(tmp_path):
         tr.state["params"]["reg"]["u_embed"] * jnp.nan)
     with _pytest.raises(FloatingPointError):
         tr.run()
+
+
+def test_checkpoint_config_roundtrip(tmp_path):
+    """config.json rides the checkpoint so inference tooling can rebuild
+    the exact model (scripts/recommend.py)."""
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+    from sagnn_tpu.train.checkpoint import CheckpointManager
+
+    cfg = Config(
+        model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                          num_heads=4, ssldim=8, pos_length=16,
+                          keep_rate=1.0, spmm_backend="xla"),
+        train=TrainConfig(batch=8, samp_num=4, ssl_num=2, trn_num=16,
+                          test_size=10, epoch=1, tst_epoch=1),
+    )
+    bundle = synthetic_dataset(num_users=32, num_items=48, graph_num=2,
+                               test_size=10, seed=3)
+    tr = Trainer(cfg, bundle, ckpt_root=str(tmp_path), pad_multiple=64)
+    tr.ckpt.save(tr.state, tr.history, cfg)
+    loaded = CheckpointManager(str(tmp_path),
+                               cfg.train.save_path).load_config()
+    assert loaded == cfg
