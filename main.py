@@ -124,9 +124,18 @@ def main() -> None:
     trainer.debug_uid = ns.uid
     log("Model Prepared")
     if ns.profile_dir:
+        # profile a throwaway epoch WITHOUT perturbing the real run: snapshot
+        # optimizer/param state and the RNG, restore both afterwards
         from sagnn_tpu.utils.profiling import trace
+        # deep device copies: the jitted step donates its state buffers, so
+        # aliased references would be invalidated by the profiled epoch
+        import jax.numpy as jnp
+        state_snapshot = jax.tree_util.tree_map(jnp.copy, trainer.state)
+        rng_snapshot = trainer.rng
         with trace(ns.profile_dir):
             trainer.train_epoch(verbose=False)
+        trainer.state = state_snapshot
+        trainer.rng = rng_snapshot
         log(f"Profile trace written to {ns.profile_dir}")
     trainer.run(resume=cfg.train.load_model is not None)
 

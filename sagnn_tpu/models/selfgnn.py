@@ -154,6 +154,9 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     if cfg.spmm_backend == "ring":
         assert mesh is not None, "ring backend needs the model's mesh"
         assert "ring" in graphs, "ring backend needs graphs['ring']"
+        assert cfg.edge_norm is None, (
+            "edge_norm is not supported by the ring backend yet — use "
+            "spmm_backend='xla' or 'pallas' for weighted propagation")
         from sagnn_tpu.parallel.edge_partition import (
             _round_up, ring_spmm_arrays)
         ring = graphs["ring"]
@@ -365,9 +368,9 @@ def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
         h = multi_head_self_attention(
             free["seq_mhsa"][i],
             layer_norm(x, ln["scale"], ln["shift"]),
-            cfg.num_heads, stable=cfg.stable_softmax)
+            cfg.num_heads, stable=stable_pool)
         x = leaky_relu(h, cfg.leaky) + x  # model.py:166
-    return jnp.sum(x, axis=1)  # [B, D] (model.py:167)
+    return jnp.sum(x, axis=1).astype(jnp.float32)  # [B, D] (model.py:167)
 
 
 def _user_weights(params: Dict, final_user: jnp.ndarray,

@@ -25,15 +25,23 @@ def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+_build_failed = False
+
+
 def build_library(force: bool = False) -> bool:
+    global _build_failed
     if os.path.exists(_LIB_PATH) and not force:
         return True
+    if _build_failed and not force:
+        return False  # don't re-spawn make on every plan call
     try:
         subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH),
                         "libplanner.so"], check=True, capture_output=True)
-        return os.path.exists(_LIB_PATH)
+        ok = os.path.exists(_LIB_PATH)
     except Exception:
-        return False
+        ok = False
+    _build_failed = not ok
+    return ok
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -83,14 +91,11 @@ def native_fill(src: np.ndarray, tgt: np.ndarray,
     out_cb = np.empty(num_chunks, np.int32)
     out_cf = np.empty(num_chunks, np.int32)
     out_eslot = np.empty(num_chunks * c, np.int32) if track_edges else None
-    eid_p = (_i32p(np.ascontiguousarray(edge_ids, np.int32))
-             if edge_ids is not None else
-             ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)))
     # keep a reference so the contiguous copy outlives the call
     eid_arr = (np.ascontiguousarray(edge_ids, np.int32)
                if edge_ids is not None else None)
-    if eid_arr is not None:
-        eid_p = _i32p(eid_arr)
+    eid_p = (_i32p(eid_arr) if eid_arr is not None else
+             ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)))
     real = lib.plan_fill(
         _i32p(src), _i32p(tgt), eid_p, num_edges, num_tgt, r, c,
         num_chunks, pad_id, 1 if sort_sources else 0,

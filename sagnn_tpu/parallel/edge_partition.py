@@ -229,24 +229,28 @@ def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
     def local_fn(x_shard, src_p, tgt_p):
         p = jax.lax.axis_index(axis)
 
-        def body(carry, s):
-            block, acc = carry
-            # send early: the transfer rides ICI while we aggregate locally
-            nxt = jax.lax.ppermute(block, axis, perm) if P_ > 1 else block
+        def bucket_sum(block, acc, s):
             q = jax.lax.rem(p - s + P_, P_)
             sb = jax.lax.dynamic_index_in_dim(src_p[0], q, 0, keepdims=False)
             tb = jax.lax.dynamic_index_in_dim(tgt_p[0], q, 0, keepdims=False)
             msgs = jnp.take(block, sb, axis=0)
-            acc = acc + jax.ops.segment_sum(
+            return acc + jax.ops.segment_sum(
                 msgs, tb, num_segments=rows + 1, indices_are_sorted=True)
-            return (nxt, acc), None
+
+        def body(carry, s):
+            block, acc = carry
+            # send early: the transfer rides ICI while we aggregate locally
+            nxt = jax.lax.ppermute(block, axis, perm)
+            return (nxt, bucket_sum(block, acc, s)), None
 
         acc0 = jnp.zeros((rows + 1, x_shard.shape[-1]), x_shard.dtype)
         # the carry must be marked device-varying over the ring axis or the
         # scan's carry types disagree (shard_map vma typing)
         acc0 = jax.lax.pvary(acc0, (axis,))
-        (_, acc), _ = jax.lax.scan(body, (x_shard, acc0),
-                                   jnp.arange(P_, dtype=jnp.int32))
+        # P-1 permuted steps + a final local step (no wasted last ppermute)
+        (block, acc), _ = jax.lax.scan(body, (x_shard, acc0),
+                                       jnp.arange(P_ - 1, dtype=jnp.int32))
+        acc = bucket_sum(block, acc, jnp.int32(P_ - 1))
         return acc[:rows]
 
     fn = shard_map(

@@ -46,6 +46,13 @@ def main():
     # is rebuilt from it, so no architecture flags are needed here
     saved = CheckpointManager(args.ckpt_root, args.save_path).load_config()
     cfg = saved if saved is not None else PRESETS.get(args.data, Config())
+    if cfg.model.spmm_backend == "ring":
+        # the ring backend is a TRAINING layout (needs a multi-device mesh);
+        # inference scores from the same params on any backend
+        import dataclasses
+        cfg = Config(model=dataclasses.replace(cfg.model,
+                                               spmm_backend="xla"),
+                     train=cfg.train, data=cfg.data)
     if args.data == "synthetic":
         bundle = synthetic_dataset(num_users=2048, num_items=4096,
                                    graph_num=cfg.model.graph_num,

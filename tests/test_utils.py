@@ -10,6 +10,7 @@ from sagnn_tpu.utils.profiling import EdgeRateCounter, StepTimer
 
 def test_log_plain_and_saved(capsys):
     lg.logmsg.clear()
+    lg._last_oneline = False  # earlier trainer tests may leave a pending \r
     lg.log("hello", save=True)
     out = capsys.readouterr().out
     assert "hello" in out
