@@ -1,0 +1,122 @@
+"""True multi-PROCESS distributed-SpMM run (the BASELINE.json "N>=2 hosts"
+row, demonstrable in this image): N separate processes, each owning local
+devices, joined by `jax.distributed.initialize` into one global mesh; the
+ring edge-partitioned SpMM's ppermutes cross process boundaries over the
+Gloo transport (stand-in for ICI/DCN on a real pod slice).
+
+Launcher mode (default) spawns the workers and reports; on a real TPU pod
+each host runs the worker directly (parallel.launch.initialize_distributed
+picks up the TPU coordinator automatically).
+
+    python scripts/bench_multihost.py [--procs 2] [--edges 2000000]
+
+Prints one JSON line: edges/s at N processes + correctness checksum.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+PORT = 45813
+
+
+def worker(args):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                               f"{args.local_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from sagnn_tpu.parallel.launch import initialize_distributed
+    initialize_distributed(coordinator_address=f"localhost:{PORT}",
+                           num_processes=args.procs,
+                           process_id=args.proc_id)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sagnn_tpu.parallel.edge_partition import (
+        pad_node_table_rows, partition_edges_ring, ring_spmm_arrays)
+
+    P_ = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()), ("model",))
+
+    rng = np.random.default_rng(0)   # identical graph on every process
+    E, U, I, D = args.edges, args.users, args.items, args.latdim
+    tgt = np.sort(rng.integers(0, U, E, dtype=np.int32))
+    src = rng.integers(0, I, E, dtype=np.int32)
+    X = rng.standard_normal((I, D)).astype(np.float32)
+    parts = partition_edges_ring(src, tgt, I, U, P_)
+    Xp = pad_node_table_rows(X, P_, parts.src_rows_per_shard)
+    sh = NamedSharding(mesh, P("model", None))
+    x = jax.make_array_from_callback(Xp.shape, sh, lambda idx: Xp[idx])
+    src_l = jnp.asarray(parts.src_local)
+    tgt_l = jnp.asarray(parts.tgt_local)
+
+    fn = jax.jit(
+        lambda xx: ring_spmm_arrays(mesh, xx, src_l, tgt_l,
+                                    parts.rows_per_shard)[:U].sum(),
+        out_shardings=NamedSharding(mesh, P()))
+    v = float(fn(x))   # compile + warmup
+    iters = args.iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = float(fn(x))
+    dt = (time.perf_counter() - t0) / iters
+
+    if args.proc_id == 0:
+        expect = np.zeros((U, D), np.float32)
+        np.add.at(expect, tgt, X[src])
+        ok = abs(v - float(expect.sum())) < 1e-2 * max(1.0, abs(v))
+        print(json.dumps({
+            "metric": "multihost_ring_spmm",
+            "processes": args.procs,
+            "global_devices": P_,
+            "edges_per_sec": round(E / dt),
+            "checksum_ok": bool(ok),
+        }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--local_devices", type=int, default=2)
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--users", type=int, default=100_000)
+    ap.add_argument("--items", type=int, default=80_000)
+    ap.add_argument("--latdim", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--proc_id", type=int, default=-1,
+                    help="internal: worker mode")
+    args = ap.parse_args()
+
+    if args.proc_id >= 0:
+        worker(args)
+        return
+
+    procs = []
+    for i in range(args.procs):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--proc_id", str(i)]
+        for k in ("procs", "local_devices", "edges", "users", "items",
+                  "latdim", "iters"):
+            cmd += [f"--{k}", str(getattr(args, k))]
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE if i == 0 else subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))))
+    out, _ = procs[0].communicate(timeout=600)
+    for p in procs[1:]:
+        p.wait(timeout=60)
+    sys.stdout.write(out.decode())
+    sys.exit(max(p.returncode for p in procs))
+
+
+if __name__ == "__main__":
+    main()
