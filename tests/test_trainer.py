@@ -151,3 +151,29 @@ def test_checkpoint_config_roundtrip(tmp_path):
     loaded = CheckpointManager(str(tmp_path),
                                cfg.train.save_path).load_config()
     assert loaded == cfg
+
+
+def test_seed_reproducibility(tmp_path):
+    """Same seed => bit-identical params after an epoch (the reference's
+    seeded-run reproducibility contract, main.py:21-23)."""
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+
+    def run_once(sub):
+        cfg = Config(
+            model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1,
+                              latdim=16, num_heads=4, ssldim=8,
+                              pos_length=16, keep_rate=0.5),
+            train=TrainConfig(batch=8, samp_num=4, ssl_num=2, trn_num=16,
+                              test_size=10, seed=123),
+        )
+        bundle = synthetic_dataset(num_users=32, num_items=48, graph_num=2,
+                                   test_size=10, seed=3)
+        tr = Trainer(cfg, bundle, ckpt_root=str(tmp_path / sub),
+                     pad_multiple=64)
+        tr.train_epoch(verbose=False)
+        return tr.state["params"]
+
+    p1, p2 = run_once("a"), run_once("b")
+    for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
