@@ -60,8 +60,13 @@ def parse_args() -> argparse.Namespace:
     # TPU-native extensions (no reference analog)
     p.add_argument("--spmm_backend", choices=["xla", "pallas", "ring"],
                    help="propagation backend (ring needs --mesh_model > 1)")
-    p.add_argument("--edge_norm", choices=["sym_sqrt"],
-                   help="sym-sqrt normalized propagation (non-parity)")
+    p.add_argument("--edge_norm", choices=["sym_sqrt", "mean"],
+                   help="normalized propagation (non-parity): sym-sqrt "
+                   "GCN-style or target-degree mean aggregation")
+    p.add_argument("--full_sort", action="store_true", default=None,
+                   help="evaluate by ranking the positive against the FULL "
+                   "catalog (minus the user's history) instead of the "
+                   "999-precomputed-negative protocol")
     p.add_argument("--fusion_dtype", choices=["f32", "bf16"],
                    help="temporal-fusion/attention compute dtype")
     p.add_argument("--remat", action="store_true", default=None,

@@ -44,7 +44,7 @@ class ModelConfig:
     # Q2 variant: sym-sqrt degree-normalized propagation (what the
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).
-    edge_norm: Optional[str] = None  # None | "sym_sqrt"
+    edge_norm: Optional[str] = None  # None | "sym_sqrt" | "mean"
     # rematerialize the per-interval propagation in the backward pass
     # (jax.checkpoint): activations of the g×gnn_layer×2 hops are recomputed
     # instead of stored — trades FLOPs for HBM on large graphs
@@ -81,6 +81,11 @@ class TrainConfig:
     shoot: int = 10             # the headline K (Params.py:26)
     test_mode: bool = True      # True: test on tstInt; False: validation on
                                 # last sequence item (Params.py:48, model.py:398-402)
+    full_sort: bool = False     # rank the positive against the FULL catalog
+                                # (minus the user's own input items) instead
+                                # of the reference's 999-precomputed-negative
+                                # protocol (no reference analog; the stricter
+                                # standard rec-sys evaluation)
     seed: int = 100             # main.py:21-23
     save_path: str = "tem"      # Params.py:12
     load_model: Optional[str] = None

@@ -126,15 +126,22 @@ def compile_interval_graphs(
 
 def edge_weights(g: IntervalGraphs, sub_mats: Sequence[sp.spmatrix],
                  norm: str = "sym_sqrt") -> np.ndarray:
-    """Optional [2, g, E] float32 edge weights for the non-parity variant.
+    """Optional [2, g, E] float32 edge weights for the non-parity variants.
 
-    `sym_sqrt` reproduces what `transToLsts(norm=True)` computes before the
-    int32 truncation destroys it (DataHandler.py:53-59):
-    w = 1/(sqrt(row_deg)+eps) * 1/(sqrt(col_deg)+eps).
+    norms:
+      * "sym_sqrt" reproduces what `transToLsts(norm=True)` computes before
+        the int32 truncation destroys it (DataHandler.py:53-59):
+        w = 1/(sqrt(row_deg)+eps) * 1/(sqrt(col_deg)+eps). Symmetric: the
+        same per-edge value serves both propagation directions.
+      * "mean" is target-degree normalization (GraphSAGE-mean aggregation):
+        w = 1/target_deg, so each hop averages rather than sums its
+        neighborhood. DIRECTION-DEPENDENT: the user-direction weight is
+        1/user_deg, the item-direction weight 1/item_deg.
+
     Returned as weights[0] for the user direction (aligned with u_src/u_tgt)
-    and weights[1] for the item direction.
+    and weights[1] for the item direction (aligned with i_src/i_tgt).
     """
-    if norm != "sym_sqrt":
+    if norm not in ("sym_sqrt", "mean"):
         raise ValueError(norm)
     E = g.edges_padded
     out = np.zeros((2, g.graph_num, E), dtype=np.float32)
@@ -143,13 +150,36 @@ def edge_weights(g: IntervalGraphs, sub_mats: Sequence[sp.spmatrix],
         binary = sp.coo_matrix((np.ones(c.nnz), (c.row, c.col)), shape=m.shape)
         row_deg = np.asarray(binary.sum(axis=1)).ravel()
         col_deg = np.asarray(binary.sum(axis=0)).ravel()
-        rd = 1.0 / (np.sqrt(row_deg + 1e-8) + 1e-8)
-        cd = 1.0 / (np.sqrt(col_deg + 1e-8) + 1e-8)
-        w = rd[c.row] * cd[c.col]
+        if norm == "sym_sqrt":
+            rd = 1.0 / (np.sqrt(row_deg + 1e-8) + 1e-8)
+            cd = 1.0 / (np.sqrt(col_deg + 1e-8) + 1e-8)
+            w_u = w_i = rd[c.row] * cd[c.col]
+        else:  # mean: 1/deg of the TARGET node of each direction
+            w_u = 1.0 / np.maximum(row_deg, 1.0)[c.row]   # user-target hops
+            w_i = 1.0 / np.maximum(col_deg, 1.0)[c.col]   # item-target hops
         order = np.argsort(c.row.astype(np.int32), kind="stable")
-        out[0, k, : c.nnz] = w[order]
+        out[0, k, : c.nnz] = w_u[order]
         order = np.argsort(c.col.astype(np.int32), kind="stable")
-        out[1, k, : c.nnz] = w[order]
+        out[1, k, : c.nnz] = w_i[order]
+    return out
+
+
+def edge_weights_canonical(weights: np.ndarray,
+                           i_to_u_perm: np.ndarray) -> np.ndarray:
+    """Re-express `edge_weights` output with BOTH directions in the canonical
+    (u-direction) edge order, for the Pallas weighted SpMM.
+
+    weights: [2, g, E] from `edge_weights` (each direction in its own order).
+    i_to_u_perm: [g, E] from `direction_permutation`.
+    Returns [2, g, E] where out[1][k, i_to_u_perm[k, j]] = weights[1][k, j],
+    i.e. the i-direction weight of every edge filed under its u-direction
+    slot. out[0] is weights[0] unchanged (already canonical). For symmetric
+    norms out[1] == out[0]; asymmetric norms (e.g. "mean") need this split.
+    """
+    out = np.stack([weights[0], np.zeros_like(weights[1])])
+    g, E = weights.shape[1:]
+    rows = np.repeat(np.arange(g), E)
+    out[1, rows, i_to_u_perm.ravel()] = weights[1].ravel()
     return out
 
 

@@ -274,3 +274,39 @@ class Sampler:
             seq[i], seq_mask[i] = _fill_sequence(posset, self.pos_length)
             valid[i] = 1.0
         return user_ids, cand, pos_items, seq, seq_mask, valid
+
+    def full_sort_batch(self, bat_ids: np.ndarray, test_mode: bool = True):
+        """Full-catalog evaluation batch (no reference analog — the standard
+        strict protocol): the positive is ranked against ALL items except the
+        user's own input interactions.
+
+        Returns (user_ids [B], pos_items [B], seq [B, L], seq_mask [B, L],
+        excluded [B, num_items] bool, valid [B]). `excluded` marks the user's
+        train-matrix row (their interaction history); the positive itself is
+        always un-excluded (in validation mode it IS the last history item).
+        """
+        b = self.bundle
+        B = self.batch
+        user_ids = np.zeros(B, dtype=np.int32)
+        pos_items = np.zeros(B, dtype=np.int32)
+        seq = np.zeros((B, self.pos_length), dtype=np.int32)
+        seq_mask = np.zeros((B, self.pos_length), dtype=np.float32)
+        excluded = np.zeros((B, b.num_items), dtype=bool)
+        valid = np.zeros(B, dtype=np.float32)
+
+        for i, u in enumerate(bat_ids):
+            if test_mode:
+                pos = b.tst_int[u]
+                posset = b.sequences[u]
+            else:
+                pos = b.sequences[u][-1]
+                posset = b.sequences[u][:-1]
+            row = self._trn_csr.indices[
+                self._trn_csr.indptr[u]:self._trn_csr.indptr[u + 1]]
+            excluded[i, row] = True
+            excluded[i, pos] = False
+            user_ids[i] = u
+            pos_items[i] = pos
+            seq[i], seq_mask[i] = _fill_sequence(posset, self.pos_length)
+            valid[i] = 1.0
+        return user_ids, pos_items, seq, seq_mask, excluded, valid

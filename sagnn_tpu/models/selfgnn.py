@@ -215,27 +215,41 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
             return jnp.maximum(leaky * agg, agg)
 
         def one_interval(_, inp):
-            u0, i0, pu, pi, w = inp
+            u0, i0, pu, pi, w_u, w_i = inp
             fu = tuple(pu[k] for k in keys)
             fi = tuple(pi[k] for k in keys)
             embs0, embs1 = [u0], [i0]
             for _l in range(cfg.gnn_layer):
-                # both hops take the CANONICAL (u-direction-order) weights —
-                # the plans' edge ids map them into each chunk layout
-                a0 = hop(embs1[-1], w, fu, fi, nb_u, num_users, nb_i,
+                # both hops take CANONICAL (u-direction-order) weights —
+                # the plans' edge ids map them into each chunk layout; the
+                # weights are per-DIRECTION (equal for symmetric norms)
+                a0 = hop(embs1[-1], w_u, fu, fi, nb_u, num_users, nb_i,
                          num_items)
-                a1 = hop(embs0[-1], w, fi, fu, nb_i, num_items, nb_u,
+                a1 = hop(embs0[-1], w_i, fi, fu, nb_i, num_items, nb_u,
                          num_users)
                 embs0.append(a0 + embs0[-1])
                 embs1.append(a1 + embs1[-1])
             return None, (sum(embs0[1:], embs0[0]), sum(embs1[1:], embs1[0]))
 
-        w_canon = (graphs["edge_weights"][0] if weighted else
-                   jnp.zeros((cfg.graph_num, 0), jnp.float32))
+        if weighted:
+            # both directions in canonical order: graphs["edge_weights_canon"]
+            # (data.graph.edge_weights_canonical, attached by the Trainer);
+            # plain edge_weights[0] suffices for symmetric norms
+            if "edge_weights_canon" in graphs:
+                w_u_canon, w_i_canon = (graphs["edge_weights_canon"][0],
+                                        graphs["edge_weights_canon"][1])
+            else:
+                assert cfg.edge_norm == "sym_sqrt", (
+                    f"edge_norm={cfg.edge_norm!r} is direction-dependent: "
+                    "the pallas backend needs graphs['edge_weights_canon']")
+                w_u_canon = w_i_canon = graphs["edge_weights"][0]
+        else:
+            w_u_canon = w_i_canon = jnp.zeros((cfg.graph_num, 0), jnp.float32)
         _, (user_vec, item_vec) = jax.lax.scan(
             scan_body(one_interval), None,
             (params["reg"]["u_embed"], params["reg"]["i_embed"],
-             graphs["plans"]["u"], graphs["plans"]["i"], w_canon))
+             graphs["plans"]["u"], graphs["plans"]["i"],
+             w_u_canon, w_i_canon))
         return user_vec, item_vec
 
     def one_interval(_, inp):
@@ -520,13 +534,10 @@ class SelfGNN:
         masking the user's own input sequence, and returns
         (scores [B, k], item_ids [B, k]).
         """
-        cfg = self.cfg
         final_user, final_item, _, _ = self.encode(params, graphs,
                                                    train=False)
-        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg)
-        pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
-        au = leaky_relu(att_user, cfg.leaky)                  # [B, D]
-        scores = (pu + au) @ final_item.T                      # [B, I]
+        scores = self.score_all_items(params, final_user, final_item,
+                                      user_ids, seq, seq_mask)
         if exclude_seen:
             B, L = seq.shape
             rows = jnp.repeat(jnp.arange(B), L)
@@ -535,6 +546,20 @@ class SelfGNN:
                     (seq_mask.reshape(-1) > 0))
             scores = jnp.where(seen, -jnp.inf, scores)
         return jax.lax.top_k(scores, k)
+
+    def score_all_items(self, params: Dict, final_user: jnp.ndarray,
+                        final_item: jnp.ndarray, user_ids: jnp.ndarray,
+                        seq: jnp.ndarray, seq_mask: jnp.ndarray
+                        ) -> jax.Array:
+        """Full-catalog scores [B, num_items] from precomputed encodings —
+        the two-term head of model.py:169-173 expanded over every item:
+        (pu + leakyReLU(att_user)) @ final_item^T. Backs both the full-sort
+        evaluation protocol and the serving path."""
+        cfg = self.cfg
+        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg)
+        pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
+        au = leaky_relu(att_user, cfg.leaky)                  # [B, D]
+        return (pu + au) @ final_item.T                        # [B, I]
 
     def score_with_encodings(self, params: Dict, final_user: jnp.ndarray,
                              final_item: jnp.ndarray, user_ids: jnp.ndarray,

@@ -46,6 +46,30 @@ def topk_metrics(scores: jnp.ndarray, ks=(1, 5, 10, 15, 20),
     return out
 
 
+def full_sort_metrics(scores: jnp.ndarray, pos_items: jnp.ndarray,
+                      valid: jnp.ndarray | None = None,
+                      ks=(1, 5, 10, 15, 20)) -> Dict[str, jnp.ndarray]:
+    """Summed HR/NDCG per K for FULL-CATALOG ranking (no reference analog).
+
+    scores: [B, num_items] with excluded items already set to -inf;
+    pos_items: [B] the positive item id per row. The tie rule matches
+    `positive_ranks` (equal scores rank ahead of the positive), so the two
+    protocols agree on any shared candidate set.
+    """
+    s_pos = jnp.take_along_axis(scores, pos_items[:, None].astype(jnp.int32),
+                                axis=1)                       # [B, 1]
+    # >= counts the positive itself once — subtract it back out
+    ranks = (jnp.sum(scores >= s_pos, axis=1) - 1).astype(jnp.int32)
+    ndcg_all = 1.0 / jnp.log2(ranks.astype(jnp.float32) + 2.0)
+    v = valid if valid is not None else jnp.ones_like(ndcg_all)
+    out = {}
+    for k in ks:
+        hit = (ranks < k).astype(jnp.float32) * v
+        out[f"HR@{k}"] = jnp.sum(hit)
+        out[f"NDCG@{k}"] = jnp.sum(ndcg_all * hit)
+    return out
+
+
 @dataclass
 class MetricsHistory:
     """Per-epoch metric lists (ref: model.py:24-28 self.metrics)."""

@@ -109,8 +109,12 @@ class Trainer:
             gb = self.graph_blocks
             i_edge_ids = None
             if weighted:
-                from sagnn_tpu.data.graph import direction_permutation
+                from sagnn_tpu.data.graph import (direction_permutation,
+                                                  edge_weights_canonical)
                 i_edge_ids = direction_permutation(gb, bundle.sub_mats)
+                self.graphs["edge_weights_canon"] = jnp.asarray(
+                    edge_weights_canonical(np.asarray(
+                        self.graphs["edge_weights"]), i_edge_ids))
             plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src,
                                         gb.i_tgt, gb.num_users, gb.num_items,
                                         gb.edge_counts,
@@ -170,6 +174,7 @@ class Trainer:
             lambda params, graphs: self.model.encode(params, graphs,
                                                      train=False)[:2])
         self._score_eval = jax.jit(self._score_eval_impl)
+        self._full_sort_eval = jax.jit(self._full_sort_eval_impl)
 
     def _shard_graphs(self):
         from sagnn_tpu.parallel.sharding import graph_shardings
@@ -194,12 +199,28 @@ class Trainer:
             params, final_user, final_item, user_ids, cand, seq, seq_mask)
         return topk_metrics(scores, ks=(1, 5, 10, 15, 20), valid=valid)
 
+    def _full_sort_eval_impl(self, params, final_user, final_item, user_ids,
+                             pos_items, seq, seq_mask, excluded, valid):
+        from sagnn_tpu.train.metrics import full_sort_metrics
+        scores = self.model.score_all_items(
+            params, final_user, final_item, user_ids, seq, seq_mask)
+        scores = jnp.where(excluded, -jnp.inf, scores)
+        return full_sort_metrics(scores, pos_items, valid=valid,
+                                 ks=(1, 5, 10, 15, 20))
+
     # -- epochs --------------------------------------------------------------
 
     def train_epoch(self, verbose: bool = True) -> Dict[str, float]:
         """One epoch with host/device overlap: batch i+1 is sampled (numpy/
         C++, GIL released) while step i runs on device — the reference
-        serializes sampling and sess.run (model.py:349-373)."""
+        serializes sampling and sess.run (model.py:349-373).
+
+        Stats are fetched with a ONE-STEP LAG: fetching step i's scalars
+        immediately would block until the device (and, on this link, a
+        ~17 ms relay round-trip) finishes step i before step i+1 can even be
+        dispatched. Deferring the fetch by one step keeps a step in flight
+        at all times, so the host-side fetch/log of step i-1 rides under
+        step i's device execution."""
         import concurrent.futures
 
         cfg = self.cfg
@@ -217,9 +238,21 @@ class Trainer:
                     batch_shardings(self._rules, batch))
             return batch
 
+        def consume(i, pending):
+            nonlocal epoch_loss, epoch_pre
+            stats = {k: float(v) for k, v in pending.items()}
+            epoch_loss += stats["loss"]
+            epoch_pre += stats["preLoss"]
+            if verbose:
+                log(f"Step {i}/{steps}: preloss = "
+                    f"{stats['preLoss']:.2f}, "
+                    f"REGLoss = {stats['regLoss']:.2f}         ",
+                    save=False, oneline=True)
+
         import contextlib
         mesh_ctx = self.mesh if self.mesh is not None else \
             contextlib.nullcontext()
+        pending = None
         with concurrent.futures.ThreadPoolExecutor(1) as pool, mesh_ctx:
             nxt = pool.submit(sample, 0)
             for i in range(steps):
@@ -230,15 +263,12 @@ class Trainer:
                 self.step_timer.tic()
                 self.state, stats = self._train_step(self.state, self.graphs,
                                                      batch, key)
-                stats = {k: float(v) for k, v in stats.items()}
+                if pending is not None:
+                    consume(i - 1, pending)
+                pending = stats
                 self.step_timer.toc()
-                epoch_loss += stats["loss"]
-                epoch_pre += stats["preLoss"]
-                if verbose:
-                    log(f"Step {i}/{steps}: preloss = "
-                        f"{stats['preLoss']:.2f}, "
-                        f"REGLoss = {stats['regLoss']:.2f}         ",
-                        save=False, oneline=True)
+            if pending is not None:
+                consume(steps - 1, pending)
         return {"Loss": epoch_loss / steps, "preLoss": epoch_pre / steps}
 
     def throughput_stats(self) -> Dict[str, float]:
@@ -251,36 +281,66 @@ class Trainer:
             "edges_per_sec": self.edges_per_step / mean if mean else 0.0,
         }
 
-    def test_epoch(self, dump_uid: int | None = None) -> Dict[str, float]:
+    def test_epoch(self, dump_uid: int | None = None,
+                   full_sort: bool | None = None) -> Dict[str, float]:
         """dump_uid >= 0 prints that batch row's candidate scores, the
-        reference's --uid debug mode (model.py:460-461); defaults to the
-        trainer-level `debug_uid` (set from the CLI --uid flag)."""
+        reference's --uid debug mode (model.py:460-461, candidate protocol
+        only); defaults to the trainer-level `debug_uid` (set from the CLI
+        --uid flag). full_sort=True ranks the positive against the full
+        catalog instead of the precomputed negatives (defaults to
+        cfg.train.full_sort)."""
         if dump_uid is None:
             dump_uid = getattr(self, "debug_uid", -1)
+        if full_sort is None:
+            full_sort = self.cfg.train.full_sort
+        import concurrent.futures
+
         cfg = self.cfg
         ids = np.asarray(self.bundle.tst_usrs)
         num = len(ids)
         steps = int(np.ceil(num / cfg.train.batch))
         final_user, final_item = self._encode_eval(self.state["params"],
                                                    self.graphs)
-        totals: Dict[str, float] = {}
-        for i in range(steps):
+
+        def sample(i):
             bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
-            user_ids, cand, _pos, seq, seq_mask, valid = \
-                self.sampler.test_batch(bat, test_mode=cfg.train.test_mode)
-            if dump_uid >= 0:
-                scores = self.model.score_with_encodings(
-                    self.state["params"], final_user, final_item,
-                    jnp.asarray(user_ids), jnp.asarray(cand),
-                    jnp.asarray(seq), jnp.asarray(seq_mask))
-                print(np.asarray(scores)[dump_uid])
-            mets = as_numpy(self._score_eval(
-                self.state["params"], final_user, final_item,
-                jnp.asarray(user_ids), jnp.asarray(cand), jnp.asarray(seq),
-                jnp.asarray(seq_mask), jnp.asarray(valid)))
-            for k, v in mets.items():
-                totals[k] = totals.get(k, 0.0) + v
-        out = {k: v / num for k, v in totals.items()}
+            if full_sort:
+                arrs = self.sampler.full_sort_batch(
+                    bat, test_mode=cfg.train.test_mode)
+            else:
+                user_ids, cand, _pos, seq, seq_mask, valid = \
+                    self.sampler.test_batch(
+                        bat, test_mode=cfg.train.test_mode)
+                arrs = (user_ids, cand, seq, seq_mask, valid)
+            return tuple(jnp.asarray(a) for a in arrs)
+
+        # batch i+1 is sampled while batch i scores on device; per-batch
+        # metric dicts stay on device (lazy adds) and are fetched ONCE at the
+        # end — the reference syncs per batch (model.py:458-459)
+        totals = None
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            nxt = pool.submit(sample, 0)
+            for i in range(steps):
+                arrs = nxt.result()
+                if i + 1 < steps:
+                    nxt = pool.submit(sample, i + 1)
+                if full_sort:
+                    mets = self._full_sort_eval(
+                        self.state["params"], final_user, final_item, *arrs)
+                else:
+                    user_ids, cand, seq, seq_mask, valid = arrs
+                    if dump_uid >= 0:
+                        scores = self.model.score_with_encodings(
+                            self.state["params"], final_user, final_item,
+                            user_ids, cand, seq, seq_mask)
+                        print(np.asarray(scores)[dump_uid])
+                    mets = self._score_eval(
+                        self.state["params"], final_user, final_item,
+                        user_ids, cand, seq, seq_mask, valid)
+                totals = mets if totals is None else {
+                    k: totals[k] + v for k, v in mets.items()}
+        totals = as_numpy(totals)
+        out = {k: float(v) / num for k, v in totals.items()}
         # headline metrics keyed like the reference (shoot=10)
         out["HR"] = out[f"HR@{cfg.train.shoot}"]
         out["NDCG"] = out[f"NDCG@{cfg.train.shoot}"]

@@ -4,7 +4,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from sagnn_tpu.data.graph import (
-    build_user_item_csr, compile_interval_graphs, edge_weights,
+    build_user_item_csr, compile_interval_graphs, direction_permutation,
+    edge_weights, edge_weights_canonical,
 )
 
 
@@ -79,6 +80,49 @@ def test_edge_weights_sym_sqrt():
                  (1 / (np.sqrt(col_deg[s] + 1e-8) + 1e-8))
         assert np.isclose(w[0, k, e], expect, rtol=1e-5)
     assert (w[0, k, n:] == 0).all()
+
+
+def test_edge_weights_mean():
+    """'mean' norm: w = 1/target_deg per direction (GraphSAGE-mean)."""
+    rng = np.random.RandomState(5)
+    mats = _rand_mats(rng, g=2)
+    g = compile_interval_graphs(mats, pad_multiple=8)
+    w = edge_weights(g, mats, norm="mean")
+    for k in range(2):
+        n = int(g.edge_counts[k])
+        row_deg = np.asarray((mats[k] != 0).sum(axis=1)).ravel()
+        col_deg = np.asarray((mats[k] != 0).sum(axis=0)).ravel()
+        np.testing.assert_allclose(
+            w[0, k, :n], 1.0 / row_deg[g.u_tgt[k, :n]], rtol=1e-6)
+        np.testing.assert_allclose(
+            w[1, k, :n], 1.0 / col_deg[g.i_tgt[k, :n]], rtol=1e-6)
+        assert (w[:, k, n:] == 0).all()
+
+
+def test_edge_weights_canonical():
+    """Canonicalization files each i-direction weight under its u-direction
+    slot; symmetric norms collapse to two equal rows."""
+    rng = np.random.RandomState(6)
+    mats = _rand_mats(rng, g=2)
+    g = compile_interval_graphs(mats, pad_multiple=8)
+    perm = direction_permutation(g, mats)
+
+    w = edge_weights(g, mats, norm="mean")
+    canon = edge_weights_canonical(w, perm)
+    np.testing.assert_array_equal(canon[0], w[0])
+    for k in range(2):
+        n = int(g.edge_counts[k])
+        # the canonical slot of i-direction edge j carries its weight
+        np.testing.assert_allclose(canon[1, k, perm[k, :n]], w[1, k, :n])
+        # every canonical edge slot e is the SAME (user, item) pair in both
+        # layouts, so canon[1][e] must equal 1/item_deg of edge e's item
+        col_deg = np.asarray((mats[k] != 0).sum(axis=0)).ravel()
+        np.testing.assert_allclose(
+            canon[1, k, :n], 1.0 / col_deg[g.u_src[k, :n]], rtol=1e-6)
+
+    ws = edge_weights(g, mats, norm="sym_sqrt")
+    canon_s = edge_weights_canonical(ws, perm)
+    np.testing.assert_allclose(canon_s[1], canon_s[0], rtol=1e-6)
 
 
 def test_build_user_item_csr():

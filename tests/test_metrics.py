@@ -4,7 +4,8 @@
 import jax.numpy as jnp
 import numpy as np
 
-from sagnn_tpu.train.metrics import positive_ranks, topk_metrics
+from sagnn_tpu.train.metrics import (full_sort_metrics, positive_ranks,
+                                     topk_metrics)
 from tests.reference_oracle import hr_ndcg_reference
 
 
@@ -53,3 +54,48 @@ def test_valid_mask():
     got = topk_metrics(jnp.asarray(scores), ks=(1,),
                        valid=jnp.asarray([1.0, 0.0]))
     assert float(got["HR@1"]) == 1.0  # second row masked out
+
+
+def test_full_sort_matches_brute_force():
+    rng = np.random.RandomState(3)
+    B, I = 8, 50
+    scores = rng.randn(B, I).astype(np.float32)
+    pos = rng.randint(0, I, B)
+    # exclude ~20% of items per row, never the positive
+    excl = rng.rand(B, I) < 0.2
+    excl[np.arange(B), pos] = False
+    masked = np.where(excl, -np.inf, scores)
+    got = full_sort_metrics(jnp.asarray(masked), jnp.asarray(pos),
+                            ks=(1, 5, 10))
+    for k in (1, 5, 10):
+        hit = ndcg = 0.0
+        for b in range(B):
+            # reference tie rule: equal scores rank ahead of the positive
+            rank = int(np.sum(masked[b] >= masked[b, pos[b]]) - 1)
+            if rank < k:
+                hit += 1.0
+                ndcg += 1.0 / np.log2(rank + 2)
+        np.testing.assert_allclose(float(got[f"HR@{k}"]), hit, atol=1e-6)
+        np.testing.assert_allclose(float(got[f"NDCG@{k}"]), ndcg, rtol=1e-5)
+
+
+def test_full_sort_agrees_with_candidate_protocol_on_full_catalog():
+    """With no exclusions and the candidate set = the whole catalog, the two
+    protocols produce identical sums (same tie rule)."""
+    rng = np.random.RandomState(4)
+    B, I = 6, 40
+    scores = rng.randn(B, I).astype(np.float32)
+    pos = rng.randint(0, I, B)
+    full = full_sort_metrics(jnp.asarray(scores), jnp.asarray(pos),
+                             ks=(5, 10))
+    # candidate layout: all non-positives then the positive LAST
+    cand_scores = np.zeros((B, I), np.float32)
+    for b in range(B):
+        others = np.delete(scores[b], pos[b])
+        cand_scores[b] = np.concatenate([others, [scores[b, pos[b]]]])
+    cand = topk_metrics(jnp.asarray(cand_scores), ks=(5, 10))
+    for k in (5, 10):
+        np.testing.assert_allclose(float(full[f"HR@{k}"]),
+                                   float(cand[f"HR@{k}"]), atol=1e-6)
+        np.testing.assert_allclose(float(full[f"NDCG@{k}"]),
+                                   float(cand[f"NDCG@{k}"]), rtol=1e-5)

@@ -40,6 +40,27 @@ def test_loss_decreases(bundle, tmp_path_factory):
     assert 0.0 <= mets["NDCG"] <= mets["HR"] + 1e-9
 
 
+def test_full_sort_eval(bundle, tmp_path_factory):
+    """Full-catalog protocol: sampler exclusion semantics + trainer epoch."""
+    tr = Trainer(CFG, bundle,
+                 ckpt_root=str(tmp_path_factory.mktemp("ckfs")),
+                 pad_multiple=64)
+    bat = np.asarray(bundle.tst_usrs)[:8]
+    user_ids, pos, seq, mask, excl, valid = tr.sampler.full_sort_batch(bat)
+    trn = bundle.trn_mat.tocsr()
+    for i, u in enumerate(bat):
+        row = set(trn.indices[trn.indptr[u]:trn.indptr[u + 1]].tolist())
+        assert pos[i] == bundle.tst_int[u]
+        assert not excl[i, pos[i]]  # positive never excluded
+        assert set(np.nonzero(excl[i])[0].tolist()) == row - {pos[i]}
+    mets = tr.test_epoch(full_sort=True)
+    assert 0.0 <= mets["HR"] <= 1.0
+    assert 0.0 <= mets["NDCG"] <= mets["HR"] + 1e-9
+    # full-sort is strictly harder than 10-candidate ranking on average
+    easy = tr.test_epoch(full_sort=False)
+    assert mets["HR"] <= easy["HR"] + 1e-9
+
+
 def test_checkpoint_roundtrip(bundle, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ck2"))
     tr = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)

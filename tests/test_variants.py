@@ -161,6 +161,60 @@ def test_edge_norm_variant_xla_vs_pallas():
     assert not np.allclose(np.asarray(uv_x), np.asarray(uv_0))
 
 
+def test_edge_norm_mean_xla_vs_pallas():
+    """'mean' norm is direction-DEPENDENT (1/target_deg per hop): the Pallas
+    path must take per-direction canonical weights (edge_weights_canon), and
+    both backends must agree with a scipy oracle for one hop."""
+    from sagnn_tpu.data.graph import (direction_permutation, edge_weights,
+                                      edge_weights_canonical)
+    from sagnn_tpu.models.selfgnn import _interval_propagation
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               seed=13)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    ew = edge_weights(gb, bundle.sub_mats, norm="mean")
+    graphs["edge_weights"] = jnp.asarray(ew)
+    perm = direction_permutation(gb, bundle.sub_mats)
+    graphs["edge_weights_canon"] = jnp.asarray(
+        edge_weights_canonical(ew, perm))
+    plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt,
+                                gb.num_users, gb.num_items, gb.edge_counts,
+                                track_edges=True, i_edge_ids=perm)
+    graphs["plans"] = {
+        "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
+        "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},
+    }
+    base = dict(graph_num=2, gnn_layer=1, latdim=16, num_heads=4, ssldim=8,
+                pos_length=10, leaky=1.0)  # 1 hop, linear act: scipy-checkable
+    cfg_x = ModelConfig(**base, edge_norm="mean")
+    cfg_p = ModelConfig(**base, edge_norm="mean", spmm_backend="pallas")
+    params = SelfGNN(cfg_x, 48, 64).init(jax.random.PRNGKey(7))
+
+    uv_x, iv_x = _interval_propagation(params, graphs, cfg_x, 48, 64)
+    uv_p, iv_p = _interval_propagation(params, graphs, cfg_p, 48, 64)
+    np.testing.assert_allclose(np.asarray(uv_x), np.asarray(uv_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iv_x), np.asarray(iv_p),
+                               rtol=1e-5, atol=1e-5)
+
+    # scipy oracle, one hop with leaky=1 (identity act): the layer-sum
+    # (tf.add_n over [u0, hop+u0]) gives 2·u0 + rownorm(A) @ i0
+    for k in range(2):
+        m = (bundle.sub_mats[k] != 0).astype(np.float64)
+        u0 = np.asarray(params["reg"]["u_embed"][k], np.float64)
+        i0 = np.asarray(params["reg"]["i_embed"][k], np.float64)
+        deg_u = np.maximum(np.asarray(m.sum(axis=1)).ravel(), 1.0)
+        deg_i = np.maximum(np.asarray(m.sum(axis=0)).ravel(), 1.0)
+        exp_u = 2 * u0 + (m @ i0) / deg_u[:, None]
+        exp_i = 2 * i0 + (m.T @ u0) / deg_i[:, None]
+        np.testing.assert_allclose(np.asarray(uv_x[k]), exp_u, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(iv_x[k]), exp_i, rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_edge_norm_variant_grads_match():
     """Gradients w.r.t. the node tables agree across backends (the Pallas
     path runs its custom VJP incl. the SDDMM dw branch)."""
