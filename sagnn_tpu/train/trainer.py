@@ -253,6 +253,7 @@ class Trainer:
         mesh_ctx = self.mesh if self.mesh is not None else \
             contextlib.nullcontext()
         pending = None
+        self._steps_last_epoch = steps
         with concurrent.futures.ThreadPoolExecutor(1) as pool, mesh_ctx:
             nxt = pool.submit(sample, 0)
             for i in range(steps):
@@ -271,13 +272,27 @@ class Trainer:
                 consume(steps - 1, pending)
         return {"Loss": epoch_loss / steps, "preLoss": epoch_pre / steps}
 
-    def throughput_stats(self) -> Dict[str, float]:
-        """Step-time and propagation edges/s observability (SURVEY.md §5)."""
-        mean = self.step_timer.mean
+    def throughput_stats(self, window: int | None = None) -> Dict[str, float]:
+        """Step-time and propagation edges/s observability (SURVEY.md §5).
+
+        Defaults to the LAST epoch's steps (earlier epochs carry compile
+        time and would drag the cumulative mean); pass window=0 for the
+        full history."""
+        if window is None:
+            window = getattr(self, "_steps_last_epoch", 0)
+        times = self.step_timer.times[-window:] if window else \
+            self.step_timer.times
+        mean = sum(times) / max(1, len(times))
+        s = sorted(times)
+
+        def pct(p):
+            return s[min(len(s) - 1, int(round(p / 100 * (len(s) - 1))))] \
+                if s else 0.0
+
         return {
             "step_ms_mean": mean * 1e3,
-            "step_ms_p50": self.step_timer.percentile(50) * 1e3,
-            "step_ms_p95": self.step_timer.percentile(95) * 1e3,
+            "step_ms_p50": pct(50) * 1e3,
+            "step_ms_p95": pct(95) * 1e3,
             "edges_per_sec": self.edges_per_step / mean if mean else 0.0,
         }
 
