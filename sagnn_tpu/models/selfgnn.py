@@ -154,40 +154,48 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     if cfg.spmm_backend == "ring":
         assert mesh is not None, "ring backend needs the model's mesh"
         assert "ring" in graphs, "ring backend needs graphs['ring']"
-        assert cfg.edge_norm is None, (
-            "edge_norm is not supported by the ring backend yet — use "
-            "spmm_backend='xla' or 'pallas' for weighted propagation")
         from sagnn_tpu.parallel.edge_partition import (
             _round_up, ring_spmm_arrays)
         ring = graphs["ring"]
+        ring_weighted = cfg.edge_norm is not None
+        if ring_weighted:
+            assert "u_weights" in ring, (
+                "edge_norm set but graphs['ring'] carries no bucketed "
+                "weights (build_interval_ring_partitions(weights=...))")
         P_ = mesh.shape["model"]
         rows_u = _round_up(-(-num_users // P_), 8)
         rows_i = _round_up(-(-num_items // P_), 8)
         pad_u = P_ * rows_u - num_users
         pad_i = P_ * rows_i - num_items
 
-        def hop(x, src_l, tgt_l, rows):
-            agg = ring_spmm_arrays(mesh, x, src_l, tgt_l, rows)
+        def hop(x, src_l, tgt_l, rows, w):
+            agg = ring_spmm_arrays(mesh, x, src_l, tgt_l, rows,
+                                   weights=w if ring_weighted else None)
             return jnp.maximum(leaky * agg, agg)
 
         def one_interval(_, inp):
-            u0, i0, us, ut, isrc, itgt = inp
+            u0, i0, us, ut, isrc, itgt, uw, iw = inp
             u0 = jnp.pad(u0, ((0, pad_u), (0, 0)))
             i0 = jnp.pad(i0, ((0, pad_i), (0, 0)))
             embs0, embs1 = [u0], [i0]
             for _l in range(cfg.gnn_layer):
-                a0 = hop(embs1[-1], us, ut, rows_u)
-                a1 = hop(embs0[-1], isrc, itgt, rows_i)
+                a0 = hop(embs1[-1], us, ut, rows_u, uw)
+                a1 = hop(embs0[-1], isrc, itgt, rows_i, iw)
                 embs0.append(a0 + embs0[-1])
                 embs1.append(a1 + embs1[-1])
             return None, (sum(embs0[1:], embs0[0])[:num_users],
                           sum(embs1[1:], embs1[0])[:num_items])
 
+        if ring_weighted:
+            u_w, i_w = ring["u_weights"], ring["i_weights"]
+        else:
+            P_b = ring["u_src_local"].shape[1]
+            u_w = i_w = jnp.zeros((cfg.graph_num, P_b, P_b, 0), jnp.float32)
         _, (user_vec, item_vec) = jax.lax.scan(
             scan_body(one_interval), None,
             (params["reg"]["u_embed"], params["reg"]["i_embed"],
              ring["u_src_local"], ring["u_tgt_local"],
-             ring["i_src_local"], ring["i_tgt_local"]))
+             ring["i_src_local"], ring["i_tgt_local"], u_w, i_w))
         return user_vec, item_vec
 
     use_pallas = cfg.spmm_backend == "pallas"

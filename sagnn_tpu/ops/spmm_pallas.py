@@ -624,7 +624,8 @@ def sddmm_from_plans(x: jax.Array, y: jax.Array, fwd_plan: SpmmPlan,
 def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
                         num_items: int, edge_counts,
                         track_edges: bool = False,
-                        i_edge_ids=None) -> dict:
+                        i_edge_ids=None,
+                        chunk_size: int = C) -> dict:
     """Build SpMM plans for every interval in both directions and stack them
     [g, ...] with a common chunk count per direction, for use under lax.scan.
 
@@ -644,9 +645,11 @@ def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
                          "permutation) so both plans share one edge order")
     u_plans = [plan_spmm(u_src[k], u_tgt[k], num_users,
                          num_edges=int(edge_counts[k]),
+                         chunk_size=chunk_size,
                          track_edges=track_edges) for k in range(g)]
     i_plans = [plan_spmm(i_src[k], i_tgt[k], num_items,
                          num_edges=int(edge_counts[k]),
+                         chunk_size=chunk_size,
                          edge_ids=(i_edge_ids[k] if track_edges else None))
                for k in range(g)]
 

@@ -162,6 +162,7 @@ class RingEdgePartitions:
     src_rows_per_shard: int
     num_tgt: int
     num_src: int
+    weights: np.ndarray | None = None  # [P, P, B] f32 (pad 0), optional
 
     @property
     def num_shards(self) -> int:
@@ -170,18 +171,26 @@ class RingEdgePartitions:
 
 def partition_edges_ring(src: np.ndarray, tgt: np.ndarray, num_src: int,
                          num_tgt: int, num_shards: int,
-                         pad_multiple: int = 128) -> RingEdgePartitions:
+                         pad_multiple: int = 128,
+                         weights: np.ndarray | None = None
+                         ) -> RingEdgePartitions:
     """Bucket target-sorted edges by (target shard, source shard).
 
     The monolithic all-gather of `edge_partitioned_spmm` becomes a ring of
     P-1 neighbor ppermutes; at ring step s each device aggregates exactly the
     bucket whose sources live in the block it currently holds, so the next
     block's transfer overlaps the current bucket's gather+segment-sum.
+
+    weights: optional per-edge values aligned with the input (src, tgt)
+    order (e.g. data.graph.edge_weights for normalized propagation); they are
+    bucketed identically and ride RingEdgePartitions.weights (pad 0).
     """
     src = np.asarray(src, np.int32)
     tgt = np.asarray(tgt, np.int32)
     n = int(np.searchsorted(tgt, num_tgt))  # drop trailing padding
     src, tgt = src[:n], tgt[:n]
+    if weights is not None:
+        weights = np.asarray(weights, np.float32)[:n]
     P = num_shards
     rows = _round_up(-(-num_tgt // P), 8)
     srows = _round_up(-(-num_src // P), 8)
@@ -193,10 +202,12 @@ def partition_edges_ring(src: np.ndarray, tgt: np.ndarray, num_src: int,
             _round_up(int(counts.max(initial=1)), pad_multiple))
     out_src = np.zeros((P, P, B), np.int32)
     out_tgt = np.full((P, P, B), rows, np.int32)
+    out_w = np.zeros((P, P, B), np.float32) if weights is not None else None
     # lexsort: bucket-major, target-ascending within bucket (edges arrive
     # target-sorted; a stable bucket grouping preserves that order)
     order = np.lexsort((tgt, sshard, tshard))
     s_s, t_s, ts_s, ss_s = src[order], tgt[order], tshard[order], sshard[order]
+    w_s = weights[order] if weights is not None else None
     flat_bucket = ts_s * P + ss_s
     bounds = np.searchsorted(flat_bucket, np.arange(P * P + 1))
     for p in range(P):
@@ -204,14 +215,18 @@ def partition_edges_ring(src: np.ndarray, tgt: np.ndarray, num_src: int,
             lo, hi = int(bounds[p * P + q]), int(bounds[p * P + q + 1])
             out_src[p, q, : hi - lo] = s_s[lo:hi] - q * srows
             out_tgt[p, q, : hi - lo] = t_s[lo:hi] - p * rows
+            if w_s is not None:
+                out_w[p, q, : hi - lo] = w_s[lo:hi]
     return RingEdgePartitions(src_local=out_src, tgt_local=out_tgt,
                               rows_per_shard=rows, src_rows_per_shard=srows,
-                              num_tgt=num_tgt, num_src=num_src)
+                              num_tgt=num_tgt, num_src=num_src,
+                              weights=out_w)
 
 
 def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
                      tgt_local: jax.Array, rows: int,
-                     axis: str = "model") -> jax.Array:
+                     axis: str = "model",
+                     weights: jax.Array | None = None) -> jax.Array:
     """Core ring hop on traced arrays (composes with jit/scan).
 
     x_sharded: [P*src_rows, D] laid out P(axis, None); src_local/tgt_local:
@@ -221,12 +236,16 @@ def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
     scheduler runs the collective-permute concurrently with the gather +
     segment-sum (the collective-matmul pattern). Differentiable through
     shard_map/scan AD (ppermute transposes to the reverse ring).
-    Returns [P*rows, D] laid out P(axis, None); slice [:num_tgt].
+    weights: optional [P, P, B] per-edge values (weighted propagation);
+    pad slots must carry 0 or a pad target (both hold for
+    RingEdgePartitions.weights). Returns [P*rows, D] laid out P(axis, None);
+    slice [:num_tgt].
     """
     P_ = src_local.shape[0]
     perm = [(i, (i + 1) % P_) for i in range(P_)]
+    weighted = weights is not None
 
-    def local_fn(x_shard, src_p, tgt_p):
+    def local_fn(x_shard, src_p, tgt_p, w_p):
         p = jax.lax.axis_index(axis)
 
         def bucket_sum(block, acc, s):
@@ -234,6 +253,10 @@ def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
             sb = jax.lax.dynamic_index_in_dim(src_p[0], q, 0, keepdims=False)
             tb = jax.lax.dynamic_index_in_dim(tgt_p[0], q, 0, keepdims=False)
             msgs = jnp.take(block, sb, axis=0)
+            if weighted:
+                wb = jax.lax.dynamic_index_in_dim(w_p[0], q, 0,
+                                                  keepdims=False)
+                msgs = msgs * wb[:, None].astype(msgs.dtype)
             return acc + jax.ops.segment_sum(
                 msgs, tb, num_segments=rows + 1, indices_are_sorted=True)
 
@@ -253,21 +276,24 @@ def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
         acc = bucket_sum(block, acc, jnp.int32(P_ - 1))
         return acc[:rows]
 
+    if not weighted:
+        weights = jnp.zeros((P_, P_, 0), jnp.float32)
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P_spec(axis), P_spec(axis), P_spec(axis)),
+        in_specs=(P_spec(axis), P_spec(axis), P_spec(axis), P_spec(axis)),
         out_specs=P_spec(axis),
     )
-    return fn(x_sharded, src_local, tgt_local)
+    return fn(x_sharded, src_local, tgt_local, weights)
 
 
 def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
                                parts: RingEdgePartitions,
                                axis: str = "model") -> jax.Array:
     """Host-plan wrapper around ring_spmm_arrays (tests, benchmarks)."""
+    w = None if parts.weights is None else jnp.asarray(parts.weights)
     return ring_spmm_arrays(mesh, x_sharded, jnp.asarray(parts.src_local),
                             jnp.asarray(parts.tgt_local),
-                            parts.rows_per_shard, axis)
+                            parts.rows_per_shard, axis, weights=w)
 
 
 def P_spec(axis: str) -> P:
@@ -284,12 +310,16 @@ def ring_edge_partitioned_propagate(mesh: Mesh, x: jax.Array,
 
 
 def build_interval_ring_partitions(gb, num_shards: int,
-                                   pad_multiple: int = 128) -> dict:
+                                   pad_multiple: int = 128,
+                                   weights: np.ndarray | None = None) -> dict:
     """Ring partitions for every interval graph, both directions, stacked
     [g, P, P, B] with a common bucket size per direction (lax.scan-ready).
 
-    gb: data.graph.IntervalGraphs. Returns
+    gb: data.graph.IntervalGraphs. weights: optional [2, g, E] per-edge
+    values from data.graph.edge_weights (each direction in its own edge
+    order) for normalized propagation. Returns
       {"u_src_local"/"u_tgt_local": [g,P,P,Bu], "i_*": [g,P,P,Bi],
+       "u_weights"/"i_weights": [g,P,P,B*] f32 (only when weights given),
        "rows_u"/"rows_i": padded target rows per shard (also the source rows
        of the opposite direction — both use round_up(ceil(N/P), 8), so one
        hop's output layout IS the next hop's input layout),
@@ -297,29 +327,41 @@ def build_interval_ring_partitions(gb, num_shards: int,
     """
     g = gb.graph_num
     U, I = gb.num_users, gb.num_items
-    pu = [partition_edges_ring(gb.u_src[k], gb.u_tgt[k], I, U, num_shards,
-                               pad_multiple) for k in range(g)]
-    pi = [partition_edges_ring(gb.i_src[k], gb.i_tgt[k], U, I, num_shards,
-                               pad_multiple) for k in range(g)]
+    pu = [partition_edges_ring(
+        gb.u_src[k], gb.u_tgt[k], I, U, num_shards, pad_multiple,
+        weights=None if weights is None else weights[0, k])
+        for k in range(g)]
+    pi = [partition_edges_ring(
+        gb.i_src[k], gb.i_tgt[k], U, I, num_shards, pad_multiple,
+        weights=None if weights is None else weights[1, k])
+        for k in range(g)]
 
     def stack(parts, rows):
         B = max(p.src_local.shape[-1] for p in parts)
         P_ = parts[0].num_shards
         src = np.zeros((g, P_, P_, B), np.int32)
         tgt = np.full((g, P_, P_, B), rows, np.int32)
+        w = np.zeros((g, P_, P_, B), np.float32) \
+            if weights is not None else None
         for k, p in enumerate(parts):
             b = p.src_local.shape[-1]
             src[k, :, :, :b] = p.src_local
             tgt[k, :, :, :b] = p.tgt_local
-        return src, tgt
+            if w is not None:
+                w[k, :, :, :b] = p.weights
+        return src, tgt, w
 
-    u_src, u_tgt = stack(pu, pu[0].rows_per_shard)
-    i_src, i_tgt = stack(pi, pi[0].rows_per_shard)
+    u_src, u_tgt, u_w = stack(pu, pu[0].rows_per_shard)
+    i_src, i_tgt, i_w = stack(pi, pi[0].rows_per_shard)
     assert pu[0].src_rows_per_shard == pi[0].rows_per_shard  # item layout
     assert pi[0].src_rows_per_shard == pu[0].rows_per_shard  # user layout
-    return {
+    out = {
         "u_src_local": u_src, "u_tgt_local": u_tgt,
         "i_src_local": i_src, "i_tgt_local": i_tgt,
         "rows_u": pu[0].rows_per_shard, "rows_i": pi[0].rows_per_shard,
         "num_users": U, "num_items": I,
     }
+    if weights is not None:
+        out["u_weights"] = u_w
+        out["i_weights"] = i_w
+    return out

@@ -66,7 +66,8 @@ def graph_shardings(rules: ShardingRules, graphs: Dict) -> Dict:
     out = {}
     for k in graphs:
         out[k] = (s_ring if k == "ring"
-                  else s3 if k == "edge_weights" else s)
+                  else s3 if k in ("edge_weights", "edge_weights_canon")
+                  else s)
     return out
 
 

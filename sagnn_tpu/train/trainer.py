@@ -128,11 +128,14 @@ class Trainer:
             from sagnn_tpu.parallel.edge_partition import (
                 build_interval_ring_partitions)
             ring = build_interval_ring_partitions(
-                self.graph_blocks, mesh.shape["model"])
-            self.graphs["ring"] = {
-                k: jnp.asarray(ring[k])
-                for k in ("u_src_local", "u_tgt_local",
-                          "i_src_local", "i_tgt_local")}
+                self.graph_blocks, mesh.shape["model"],
+                weights=(np.asarray(self.graphs["edge_weights"])
+                         if weighted else None))
+            keys = ["u_src_local", "u_tgt_local", "i_src_local",
+                    "i_tgt_local"]
+            if weighted:
+                keys += ["u_weights", "i_weights"]
+            self.graphs["ring"] = {k: jnp.asarray(ring[k]) for k in keys}
         self.sampler = Sampler(
             bundle=bundle, batch=cfg.train.batch,
             samp_num=cfg.train.samp_num, ssl_num=cfg.train.ssl_num,

@@ -264,3 +264,67 @@ def test_ring_model_backend_grads_match():
     np.testing.assert_allclose(np.asarray(gr["reg"]["i_embed"]),
                                np.asarray(gx["reg"]["i_embed"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ring_weighted_spmm_matches_scipy():
+    """Weighted ring hop: per-edge values ride the buckets (pad 0)."""
+    rng = np.random.default_rng(14)
+    U, I, D, E = 600, 500, 16, 9000
+    src, tgt = _graph(rng, U, I, E)
+    w = rng.standard_normal(E).astype(np.float32)
+    X = rng.standard_normal((I, D)).astype(np.float32)
+    parts = partition_edges_ring(src, tgt, I, U, 4, weights=w)
+    mesh = make_mesh(data=2, model=4)
+    Xp = pad_node_table_rows(X, 4, parts.src_rows_per_shard)
+    x_dev = jax.device_put(
+        jnp.asarray(Xp),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("model", None)))
+    with mesh:
+        out = ring_edge_partitioned_spmm(mesh, x_dev, parts)
+    expect = np.zeros((U, D), np.float32)
+    np.add.at(expect, tgt, w[:, None] * X[src])
+    np.testing.assert_allclose(np.asarray(out)[:U], expect, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_ring_model_backend_edge_norm_matches_xla():
+    """Full-model normalized propagation on the ring backend matches the
+    XLA weighted path (edge_norm now supported on every backend)."""
+    import dataclasses
+    from sagnn_tpu.config import ModelConfig
+    from sagnn_tpu.data.graph import compile_interval_graphs, edge_weights
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.models.selfgnn import SelfGNN, _interval_propagation
+    from sagnn_tpu.parallel.edge_partition import (
+        build_interval_ring_partitions)
+    from sagnn_tpu.train.trainer import graphs_to_device
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               seed=23)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    mesh = make_mesh(data=2, model=4)
+    for norm in ("sym_sqrt", "mean"):
+        ew = edge_weights(gb, bundle.sub_mats, norm=norm)
+        graphs["edge_weights"] = jnp.asarray(ew)
+        ring = build_interval_ring_partitions(gb, 4, pad_multiple=8,
+                                              weights=ew)
+        graphs["ring"] = {k: jnp.asarray(ring[k])
+                          for k in ("u_src_local", "u_tgt_local",
+                                    "i_src_local", "i_tgt_local",
+                                    "u_weights", "i_weights")}
+        base = dict(graph_num=2, gnn_layer=2, latdim=16, num_heads=4,
+                    ssldim=8, pos_length=10, edge_norm=norm)
+        cfg_x = ModelConfig(**base)
+        cfg_r = dataclasses.replace(cfg_x, spmm_backend="ring")
+        params = SelfGNN(cfg_x, 48, 64).init(jax.random.PRNGKey(7))
+
+        uv_x, iv_x = _interval_propagation(params, graphs, cfg_x, 48, 64)
+        with mesh:
+            uv_r, iv_r = _interval_propagation(params, graphs, cfg_r,
+                                               48, 64, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(uv_r), np.asarray(uv_x),
+                                   rtol=1e-5, atol=1e-5, err_msg=norm)
+        np.testing.assert_allclose(np.asarray(iv_r), np.asarray(iv_x),
+                                   rtol=1e-5, atol=1e-5, err_msg=norm)

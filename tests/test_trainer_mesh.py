@@ -35,15 +35,23 @@ def test_mesh_trainer_trains_and_evals(tmp_path, shape):
     assert 0.0 <= mets["HR"] <= 1.0
 
 
-def test_mesh_trainer_ring_backend(tmp_path):
+@pytest.mark.parametrize("edge_norm", [None, "mean"])
+def test_mesh_trainer_ring_backend(tmp_path, edge_norm):
     """Full Trainer with spmm_backend='ring': explicitly edge-partitioned
-    propagation inside the sharded train step, loss decreases."""
+    propagation inside the sharded train step, loss decreases. edge_norm
+    exercises the weighted (bucketed per-edge weights) ring path."""
     import dataclasses
     bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
                                test_size=10, seed=2)
     mesh = make_mesh(data=2, model=4)
     cfg = dataclasses.replace(
-        CFG, model=dataclasses.replace(CFG.model, spmm_backend="ring"))
+        CFG, model=dataclasses.replace(CFG.model, spmm_backend="ring",
+                                       edge_norm=edge_norm))
+    if edge_norm == "mean":
+        # mean aggregation shrinks activation magnitudes: the tiny test run
+        # needs a larger lr to show descent within a few epochs
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lr=2e-2))
     tr = Trainer(cfg, bundle, ckpt_root=str(tmp_path), pad_multiple=64,
                  mesh=mesh)
     first = tr.train_epoch(verbose=False)
