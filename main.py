@@ -63,6 +63,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--edge_norm", choices=["sym_sqrt", "mean"],
                    help="normalized propagation (non-parity): sym-sqrt "
                    "GCN-style or target-degree mean aggregation")
+    p.add_argument("--edge_attention", action="store_true", default=None,
+                   help="GAT-style edge-attention propagation (non-parity; "
+                   "needs --spmm_backend pallas)")
     p.add_argument("--full_sort", action="store_true", default=None,
                    help="evaluate by ranking the positive against the FULL "
                    "catalog (minus the user's history) instead of the "

@@ -45,6 +45,12 @@ class ModelConfig:
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).
     edge_norm: Optional[str] = None  # None | "sym_sqrt" | "mean"
+    # GAT-style edge-attention propagation (non-parity): per-edge scores
+    # from the endpoint embeddings (SDDMM), softmax-normalized per target
+    # node, driving a weighted aggregation. Requires spmm_backend="pallas"
+    # (the SDDMM/weighted-SpMM kernel pair); mutually exclusive with
+    # edge_norm (attention IS the edge weighting).
+    edge_attention: bool = False
     # rematerialize the per-interval propagation in the backward pass
     # (jax.checkpoint): activations of the g×gnn_layer×2 hops are recomputed
     # instead of stored — trades FLOPs for HBM on large graphs

@@ -204,6 +204,56 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
         assert "edge_weights" in graphs, (
             "edge_norm set but graphs['edge_weights'] missing (Trainer "
             "attaches it from data.graph.edge_weights)")
+    if cfg.edge_attention:
+        # GAT-style variant: scores from the CURRENT layer's endpoint
+        # embeddings -> per-target softmax -> weighted aggregation. Both
+        # hops run in ONE canonical edge order (the u-direction sort), so
+        # the item-target softmax segments over unsorted ids.
+        assert use_pallas, ("edge_attention requires spmm_backend='pallas' "
+                            "(SDDMM + weighted-SpMM kernels)")
+        assert not weighted, "edge_attention and edge_norm are exclusive"
+        assert "plans" in graphs, "edge_attention needs tracked plans"
+        from sagnn_tpu.ops.edge_attention import attention_propagate
+        from sagnn_tpu.ops.spmm_pallas import R as _R
+        nb_u = -(-num_users // _R)
+        nb_i = -(-num_items // _R)
+        keys = ("src", "tgt_local", "chunk_block", "chunk_first",
+                "edge_slot", "edge_pos")
+        # canonical-order edge endpoints + real-edge mask, all [g, E]
+        u_tgt = graphs["u_tgt"]
+        u_src = graphs["u_src"]
+        emask = (u_tgt < num_users).astype(jnp.float32)
+
+        def hop(x_src, x_tgt, tgt, fwd, bwd, fnb, fnt, bnb, bnt, m, srt):
+            agg = attention_propagate(x_src, x_tgt, tgt, fwd, bwd, fnb,
+                                      fnt, bnb, bnt, mask=m,
+                                      exact=cfg.spmm_exact,
+                                      sorted_targets=srt)
+            return jnp.maximum(leaky * agg, agg)
+
+        def one_interval(_, inp):
+            u0, i0, pu, pi, ut, us, m = inp
+            fu = tuple(pu[k] for k in keys)
+            fi = tuple(pi[k] for k in keys)
+            embs0, embs1 = [u0], [i0]
+            for _l in range(cfg.gnn_layer):
+                a0 = hop(embs1[-1], embs0[-1], ut, fu, fi, nb_u, num_users,
+                         nb_i, num_items, m, True)
+                # item-target hop: canonical order is the u-sort, so the
+                # per-item segments are unsorted (srt=False)
+                a1 = hop(embs0[-1], embs1[-1], us, fi, fu, nb_i, num_items,
+                         nb_u, num_users, m, False)
+                embs0.append(a0 + embs0[-1])
+                embs1.append(a1 + embs1[-1])
+            return None, (sum(embs0[1:], embs0[0]), sum(embs1[1:], embs1[0]))
+
+        _, (user_vec, item_vec) = jax.lax.scan(
+            scan_body(one_interval), None,
+            (params["reg"]["u_embed"], params["reg"]["i_embed"],
+             graphs["plans"]["u"], graphs["plans"]["i"], u_tgt, u_src,
+             emask))
+        return user_vec, item_vec
+
     if use_pallas:
         assert "plans" in graphs, "pallas backend needs graphs['plans']"
         from sagnn_tpu.ops.spmm_pallas import R as _R, spmm, spmm_weighted

@@ -447,7 +447,11 @@ def spmm_from_plans(x: jax.Array, fwd_plan: SpmmPlan, bwd_plan: SpmmPlan,
 # ---------------------------------------------------------------------------
 
 def _sddmm_kernel(blk_ref, tl_ref, msg_ref, y_ref, out_ref, *, exact: bool):
-    """One chunk: scores[C] = Σ_d msgs[C, D] ⊙ (one_hot(tl)[C, R] @ y[R, D])."""
+    """One chunk: scores[C] = Σ_d msgs[C, D] ⊙ (one_hot(tl)[C, R] @ y[R, D]).
+
+    The output block is [8, C] spanning 8 consecutive chunks (Mosaic
+    requires output sublanes divisible by 8); each grid step writes only its
+    own row via select, and the block flushes after its 8th revisit."""
     del blk_ref  # consumed by the index maps
     tl = tl_ref[0]                                    # [1, C] int32
     cols = jax.lax.broadcasted_iota(jnp.int32, (tl.shape[-1], R), 1)
@@ -460,7 +464,10 @@ def _sddmm_kernel(blk_ref, tl_ref, msg_ref, y_ref, out_ref, *, exact: bool):
                    else jax.lax.Precision.DEFAULT),
     )
     prod = gathered * msg_ref[:].astype(jnp.float32)
-    out_ref[:] = jnp.sum(prod, axis=-1)[None, :]
+    val = jnp.sum(prod, axis=-1)                      # [C]
+    r = pl.program_id(0) % 8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, val.shape[0]), 0)
+    out_ref[:] = jnp.where(rows == r, val[None, :], out_ref[:])
 
 
 def sddmm_apply(x: jax.Array, y: jax.Array, src: jax.Array,
@@ -481,9 +488,21 @@ def sddmm_apply(x: jax.Array, y: jax.Array, src: jax.Array,
     messages = jnp.take(x, src, axis=0)               # [NC*C, D]
     rows = (num_blocks + 1) * R
     y_pad = jnp.pad(y, ((0, rows - y.shape[0]), (0, 0)))
+    # pad the grid to a multiple of 8 chunks: the output writes in [8, C]
+    # blocks (Mosaic sublane divisibility); pad chunks score 0 rows
+    nc8 = -(-nc // 8) * 8
+    if nc8 != nc:
+        pad = nc8 - nc
+        tgt_local = jnp.concatenate(
+            [tgt_local, jnp.full((pad,) + tgt_local.shape[1:], R,
+                                 tgt_local.dtype)])
+        chunk_block = jnp.concatenate(
+            [chunk_block, jnp.full((pad,), num_blocks, chunk_block.dtype)])
+        messages = jnp.concatenate(
+            [messages, jnp.zeros((pad * cs, d), messages.dtype)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,    # chunk_block (used in the y index map)
-        grid=(nc,),
+        grid=(nc8,),
         in_specs=[
             pl.BlockSpec((1, 1, cs), lambda c, blk: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -492,21 +511,21 @@ def sddmm_apply(x: jax.Array, y: jax.Array, src: jax.Array,
             pl.BlockSpec((R, d), lambda c, blk: (blk[c], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, cs), lambda c, blk: (c, 0),
+        out_specs=pl.BlockSpec((8, cs), lambda c, blk: (c // 8, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_sddmm_kernel, exact=exact),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
-        out_shape=jax.ShapeDtypeStruct((nc, cs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc8, cs), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nc * cs * R * d + nc * cs * d,
-            bytes_accessed=nc * cs * (d * 4 + 4) + rows * d * 4,
+            flops=2 * nc8 * cs * R * d + nc8 * cs * d,
+            bytes_accessed=nc8 * cs * (d * 4 + 4) + rows * d * 4,
             transcendentals=0,
         ),
-    )(chunk_block, tgt_local.reshape(nc, 1, cs), messages, y_pad)
-    return out.reshape(-1)
+    )(chunk_block, tgt_local.reshape(nc8, 1, cs), messages, y_pad)
+    return out[:nc].reshape(-1)
 
 
 def _chunk_weights(w: jax.Array, edge_slot: jax.Array) -> jax.Array:

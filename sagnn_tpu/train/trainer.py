@@ -104,21 +104,27 @@ class Trainer:
             from sagnn_tpu.data.graph import edge_weights
             self.graphs["edge_weights"] = jnp.asarray(edge_weights(
                 self.graph_blocks, bundle.sub_mats, norm=cfg.model.edge_norm))
+        if cfg.model.edge_attention:
+            assert cfg.model.spmm_backend == "pallas", (
+                "edge_attention requires spmm_backend='pallas'")
+            assert not weighted, "edge_attention and edge_norm are exclusive"
         if cfg.model.spmm_backend == "pallas":
             from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
             gb = self.graph_blocks
+            tracked = weighted or cfg.model.edge_attention
             i_edge_ids = None
-            if weighted:
-                from sagnn_tpu.data.graph import (direction_permutation,
-                                                  edge_weights_canonical)
+            if tracked:
+                from sagnn_tpu.data.graph import direction_permutation
                 i_edge_ids = direction_permutation(gb, bundle.sub_mats)
+            if weighted:
+                from sagnn_tpu.data.graph import edge_weights_canonical
                 self.graphs["edge_weights_canon"] = jnp.asarray(
                     edge_weights_canonical(np.asarray(
                         self.graphs["edge_weights"]), i_edge_ids))
             plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src,
                                         gb.i_tgt, gb.num_users, gb.num_items,
                                         gb.edge_counts,
-                                        track_edges=weighted,
+                                        track_edges=tracked,
                                         i_edge_ids=i_edge_ids)
             self.graphs["plans"] = {
                 "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
