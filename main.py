@@ -66,6 +66,15 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--edge_attention", action="store_true", default=None,
                    help="GAT-style edge-attention propagation (non-parity; "
                    "needs --spmm_backend pallas)")
+    p.add_argument("--per_token_seq_attention", action="store_true",
+                   default=None,
+                   help="true per-token masked sequence attention instead "
+                   "of the reference's pooled-token branch (non-parity, "
+                   "quirk Q3 fix)")
+    p.add_argument("--seq_parallel", action="store_true", default=None,
+                   help="ring-attention sequence parallelism for the "
+                   "per-token sequence branch (non-parity; needs "
+                   "--per_token_seq_attention and mesh_model > 1)")
     p.add_argument("--full_sort", action="store_true", default=None,
                    help="evaluate by ranking the positive against the FULL "
                    "catalog (minus the user's history) instead of the "

@@ -45,6 +45,13 @@ class ModelConfig:
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).
     edge_norm: Optional[str] = None  # None | "sym_sqrt" | "mean"
+    # sequence-parallel per-token attention (non-parity): shard the
+    # pos_length axis over the mesh's 'model' axis and run ring attention
+    # (K/V blocks rotate between ICI neighbors, flash-style streaming
+    # softmax — parallel/ring_attention.py). Requires
+    # per_token_seq_attention=True and a mesh; pos_length must divide the
+    # 'model' axis size.
+    seq_parallel: bool = False
     # GAT-style edge-attention propagation (non-parity): per-edge scores
     # from the endpoint embeddings (SDDMM), softmax-normalized per target
     # node, driving a weighted aggregation. Requires spmm_backend="pallas"

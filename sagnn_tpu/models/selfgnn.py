@@ -387,13 +387,15 @@ def _temporal_fusion(params: Dict, user_vec: jnp.ndarray,
 
 def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
                      seq: jnp.ndarray, seq_mask: jnp.ndarray,
-                     cfg: ModelConfig) -> jnp.ndarray:
+                     cfg: ModelConfig, mesh=None) -> jnp.ndarray:
     """Sequence branch. Parity mode (default) replicates quirk Q3
     (model.py:158-167): the mask-matmul collapses the sequence to ONE token
     [B, 1, D] before the attention stack. With
     cfg.per_token_seq_attention=True, true per-token masked self-attention
     over the [B, L, D] sequence runs instead (the non-parity "fixed"
-    variant). Returns att_user [B, D].
+    variant); with cfg.seq_parallel on top, each attention layer runs
+    ring attention with the sequence axis sharded over the mesh's 'model'
+    axis (parallel/ring_attention.py). Returns att_user [B, D].
 
     fusion_dtype="bf16" runs the attention stack in bf16 (see
     _temporal_fusion); the returned vector is cast back to f32."""
@@ -411,6 +413,11 @@ def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
     pos_embed = cast(params["reg"]["pos_embed"])
 
     if cfg.per_token_seq_attention:
+        ring = cfg.seq_parallel
+        if ring:
+            assert mesh is not None, "seq_parallel needs the model's mesh"
+            from sagnn_tpu.parallel.ring_attention import (
+                ring_multi_head_self_attention)
         pos = jnp.broadcast_to(pos_embed[None], seq_emb.shape)
         x = layer_norm(seq_emb, free["seq_ln_item"]["scale"],
                        free["seq_ln_item"]["shift"])
@@ -419,10 +426,15 @@ def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
         x = x * seq_mask[:, :, None]
         for i in range(cfg.att_layer):
             ln = free["seq_ln"][i]
-            h = multi_head_self_attention(
-                free["seq_mhsa"][i],
-                layer_norm(x, ln["scale"], ln["shift"]),
-                cfg.num_heads, stable=True, mask=seq_mask)
+            xn = layer_norm(x, ln["scale"], ln["shift"])
+            if ring:
+                h = ring_multi_head_self_attention(
+                    mesh, free["seq_mhsa"][i], xn, cfg.num_heads,
+                    seq_mask, axis="model")
+            else:
+                h = multi_head_self_attention(
+                    free["seq_mhsa"][i], xn,
+                    cfg.num_heads, stable=True, mask=seq_mask)
             x = leaky_relu(h, cfg.leaky) + x
         return jnp.sum(x * seq_mask[:, :, None],
                        axis=1).astype(jnp.float32)         # [B, D]
@@ -545,7 +557,7 @@ class SelfGNN:
         final_user, final_item, user_vec, item_vec = self.encode(
             params, graphs, train=True, rng=rng)
         att_user = _sequence_branch(params, final_item, batch.seq,
-                                    batch.seq_mask, cfg)
+                                    batch.seq_mask, cfg, mesh=self.mesh)
 
         def preds(iids):
             pu = jnp.take(final_user, batch.uids, axis=0)
@@ -614,7 +626,8 @@ class SelfGNN:
         (pu + leakyReLU(att_user)) @ final_item^T. Backs both the full-sort
         evaluation protocol and the serving path."""
         cfg = self.cfg
-        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg)
+        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg,
+                                    mesh=self.mesh)
         pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
         au = leaky_relu(att_user, cfg.leaky)                  # [B, D]
         return (pu + au) @ final_item.T                        # [B, I]
@@ -628,7 +641,8 @@ class SelfGNN:
         reusing it across batches is exact — unlike the reference, which
         re-runs the full forward per test batch (model.py:459)."""
         cfg = self.cfg
-        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg)
+        att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg,
+                                    mesh=self.mesh)
         pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
         pi = jnp.take(final_item, cand_iids, axis=0)          # [B, C, D]
         base = jnp.einsum("bd,bcd->bc", pu, pi)

@@ -108,6 +108,15 @@ class Trainer:
             assert cfg.model.spmm_backend == "pallas", (
                 "edge_attention requires spmm_backend='pallas'")
             assert not weighted, "edge_attention and edge_norm are exclusive"
+        if cfg.model.seq_parallel:
+            assert cfg.model.per_token_seq_attention, (
+                "seq_parallel shards the per-token sequence attention; "
+                "enable per_token_seq_attention")
+            assert mesh is not None, "seq_parallel requires a mesh"
+            P_ = mesh.shape["model"]
+            assert cfg.model.pos_length % P_ == 0, (
+                f"pos_length {cfg.model.pos_length} must divide the "
+                f"'model' axis ({P_})")
         if cfg.model.spmm_backend == "pallas":
             from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
             gb = self.graph_blocks

@@ -115,3 +115,66 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
     ge.dryrun_multichip(8)
+
+
+def test_ring_attention_matches_dense():
+    """Ring attention over a 4-device 'model' axis reproduces the dense
+    stable-softmax MHSA (values AND grads) on sharded sequences."""
+    from sagnn_tpu.ops.attention import (init_mhsa_params,
+                                         multi_head_self_attention)
+    from sagnn_tpu.parallel.ring_attention import (
+        ring_multi_head_self_attention)
+
+    mesh = make_mesh(data=2, model=4)
+    B, L, D, H = 6, 16, 32, 4
+    key = jax.random.PRNGKey(0)
+    params = init_mhsa_params(key, D)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, L, D), jnp.float32)
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (B, L)) > 0.3
+            ).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)  # at least one valid key per row
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, L, D), jnp.float32)
+
+    dense = multi_head_self_attention(params, x, H, stable=True, mask=mask)
+    with mesh:
+        ring = jax.jit(lambda p, xx: ring_multi_head_self_attention(
+            mesh, p, xx, H, mask))(params, x)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+    d_dense = jax.grad(lambda p, xx: jnp.vdot(multi_head_self_attention(
+        p, xx, H, stable=True, mask=mask), g), argnums=(0, 1))(params, x)
+    with mesh:
+        d_ring = jax.jit(jax.grad(
+            lambda p, xx: jnp.vdot(ring_multi_head_self_attention(
+                mesh, p, xx, H, mask), g), argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(d_ring),
+                    jax.tree_util.tree_leaves(d_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_seq_parallel_sequence_branch_matches_single(setup):
+    """The model's per-token sequence branch with seq_parallel=True equals
+    the single-device per-token branch on identical params."""
+    import dataclasses
+
+    from sagnn_tpu.models.selfgnn import _sequence_branch
+
+    bundle, _, _, batch = setup
+    mesh = make_mesh(data=2, model=4)
+    cfg_pt = dataclasses.replace(CFG.model, per_token_seq_attention=True)
+    cfg_sp = dataclasses.replace(cfg_pt, seq_parallel=True)
+    model = SelfGNN(cfg_pt, bundle.num_users, bundle.num_items)
+    params = model.init(jax.random.PRNGKey(5))
+    item_emb = jax.random.normal(jax.random.PRNGKey(6),
+                                 (bundle.num_items, CFG.model.latdim))
+
+    single = _sequence_branch(params, item_emb, batch.seq, batch.seq_mask,
+                              cfg_pt)
+    with mesh:
+        sharded = jax.jit(lambda p, e: _sequence_branch(
+            p, e, batch.seq, batch.seq_mask, cfg_sp, mesh=mesh))(
+                params, item_emb)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-5, atol=2e-5)
