@@ -29,16 +29,55 @@ from sagnn_tpu.utils.logger import log
 from sagnn_tpu.utils.profiling import StepTimer
 
 
+def scale_by_tf1_adam(b1: float = 0.9, b2: float = 0.999,
+                      eps: float = 1e-8) -> optax.GradientTransformation:
+    """TF1 AdamOptimizer's exact update (vs optax.adam, which differs for
+    tiny gradients): TF computes
+
+        update = lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v) + eps)
+
+    i.e. the bias corrections fold into the step size and eps is applied to
+    the UNCORRECTED sqrt(v) — so TF's effective epsilon is
+    eps/sqrt(1-b2^t), ~30x optax's at step 1. Verified against a captured
+    reference Adam step in tests/test_tf_fixture.py."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros,
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        corr = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        out = jax.tree_util.tree_map(
+            lambda m, v: corr * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """Adam + staircase exponential decay (model.py:248-250; TF defaults
-    beta1=0.9, beta2=0.999, eps=1e-8)."""
+    """TF1-exact Adam + staircase exponential decay (model.py:248-250; TF
+    defaults beta1=0.9, beta2=0.999, eps=1e-8). The LR schedule reads the
+    PRE-increment global step, like tf.train.exponential_decay under
+    minimize(global_step=...)."""
     schedule = optax.exponential_decay(
         init_value=cfg.train.lr,
         transition_steps=cfg.train.decay_step,
         decay_rate=cfg.train.decay,
         staircase=True,
     )
-    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.chain(
+        scale_by_tf1_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_schedule(lambda count: -schedule(count)),
+    )
 
 
 def make_train_step(model: SelfGNN, optimizer: optax.GradientTransformation,
