@@ -269,7 +269,7 @@ def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
         acc0 = jnp.zeros((rows + 1, x_shard.shape[-1]), x_shard.dtype)
         # the carry must be marked device-varying over the ring axis or the
         # scan's carry types disagree (shard_map vma typing)
-        acc0 = jax.lax.pvary(acc0, (axis,))
+        acc0 = jax.lax.pcast(acc0, (axis,), to="varying")
         # P-1 permuted steps + a final local step (no wasted last ppermute)
         (block, acc), _ = jax.lax.scan(body, (x_shard, acc0),
                                        jnp.arange(P_ - 1, dtype=jnp.int32))

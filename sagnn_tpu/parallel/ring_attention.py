@@ -89,7 +89,7 @@ def _local_ring_attention(params: Dict[str, jax.Array], x: jax.Array,
         # axis the data inputs vary on (the ring axis, plus the batch axis
         # when sharded) or the scan's carry types disagree (shard_map vma
         # typing)
-        m0, l0, acc0 = (jax.lax.pvary(t, vary_axes)
+        m0, l0, acc0 = (jax.lax.pcast(t, vary_axes, to="varying")
                         for t in (m0, l0, acc0))
         (k_blk, v_blk, m_blk, m, l, acc), _ = jax.lax.scan(
             body, (k, v, mask, m0, l0, acc0), None, length=ring_size - 1)
