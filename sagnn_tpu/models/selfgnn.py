@@ -200,7 +200,10 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
 
     use_pallas = cfg.spmm_backend == "pallas"
     weighted = cfg.edge_norm is not None
-    if weighted:
+    if weighted and cfg.spmm_backend == "xla":
+        # pallas reads edge_weights_canon (or edge_weights as the sym_sqrt
+        # fallback below); ring reads its bucketed copies — only the XLA
+        # backend needs the raw per-direction array device-resident
         assert "edge_weights" in graphs, (
             "edge_norm set but graphs['edge_weights'] missing (Trainer "
             "attaches it from data.graph.edge_weights)")
@@ -300,6 +303,9 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
                 assert cfg.edge_norm == "sym_sqrt", (
                     f"edge_norm={cfg.edge_norm!r} is direction-dependent: "
                     "the pallas backend needs graphs['edge_weights_canon']")
+                assert "edge_weights" in graphs, (
+                    "pallas + edge_norm needs graphs['edge_weights_canon'] "
+                    "or raw graphs['edge_weights'] (sym_sqrt only)")
                 w_u_canon = w_i_canon = graphs["edge_weights"][0]
         else:
             w_u_canon = w_i_canon = jnp.zeros((cfg.graph_num, 0), jnp.float32)

@@ -673,7 +673,11 @@ def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
                for k in range(g)]
 
     def stack(plans):
-        nc = max(p.num_chunks for p in plans)
+        # round the common chunk count to a multiple of 8: sddmm_apply's
+        # grid writes [8, C] output blocks (Mosaic sublane divisibility),
+        # and padding here (≤7 benign chunks) avoids its runtime fallback
+        # that concatenates zero rows onto the full [NC*C, D] message stream
+        nc = -(-max(p.num_chunks for p in plans) // 8) * 8
         plans = [p if p.num_chunks == nc else
                  plan_spmm_repad(p, nc) for p in plans]
         out = {

@@ -139,10 +139,15 @@ class Trainer:
             bundle.sub_mats, pad_multiple=pad_multiple)
         self.graphs = graphs_to_device(self.graph_blocks)
         weighted = cfg.model.edge_norm is not None
+        ew_np = None  # host-side [2, g, E]; device copy only where consumed
         if weighted:
             from sagnn_tpu.data.graph import edge_weights
-            self.graphs["edge_weights"] = jnp.asarray(edge_weights(
-                self.graph_blocks, bundle.sub_mats, norm=cfg.model.edge_norm))
+            ew_np = edge_weights(self.graph_blocks, bundle.sub_mats,
+                                 norm=cfg.model.edge_norm)
+            if cfg.model.spmm_backend == "xla":
+                # only the XLA backend reads the raw per-direction weights;
+                # pallas uses edge_weights_canon, ring uses bucketed copies
+                self.graphs["edge_weights"] = jnp.asarray(ew_np)
         if cfg.model.edge_attention:
             assert cfg.model.spmm_backend == "pallas", (
                 "edge_attention requires spmm_backend='pallas'")
@@ -167,8 +172,7 @@ class Trainer:
             if weighted:
                 from sagnn_tpu.data.graph import edge_weights_canonical
                 self.graphs["edge_weights_canon"] = jnp.asarray(
-                    edge_weights_canonical(np.asarray(
-                        self.graphs["edge_weights"]), i_edge_ids))
+                    edge_weights_canonical(ew_np, i_edge_ids))
             plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src,
                                         gb.i_tgt, gb.num_users, gb.num_items,
                                         gb.edge_counts,
@@ -183,8 +187,7 @@ class Trainer:
                 build_interval_ring_partitions)
             ring = build_interval_ring_partitions(
                 self.graph_blocks, mesh.shape["model"],
-                weights=(np.asarray(self.graphs["edge_weights"])
-                         if weighted else None))
+                weights=(ew_np if weighted else None))
             keys = ["u_src_local", "u_tgt_local", "i_src_local",
                     "i_tgt_local"]
             if weighted:
@@ -321,12 +324,18 @@ class Trainer:
                 self.step_timer.tic()
                 self.state, stats = self._train_step(self.state, self.graphs,
                                                      batch, key)
+                # each timed sample = dispatch(i) + fetch of step i-1's
+                # stats (the device-completion wait); recording a sample
+                # with no pending fetch would be ~0 ms of pure dispatch and
+                # bias the mean low, so skip the first iteration's toc
                 if pending is not None:
                     consume(i - 1, pending)
+                    self.step_timer.toc()
                 pending = stats
-                self.step_timer.toc()
             if pending is not None:
+                self.step_timer.tic()
                 consume(steps - 1, pending)
+                self.step_timer.toc()
         return {"Loss": epoch_loss / steps, "preLoss": epoch_pre / steps}
 
     def throughput_stats(self, window: int | None = None) -> Dict[str, float]:
@@ -337,20 +346,14 @@ class Trainer:
         full history."""
         if window is None:
             window = getattr(self, "_steps_last_epoch", 0)
-        times = self.step_timer.times[-window:] if window else \
-            self.step_timer.times
-        mean = sum(times) / max(1, len(times))
-        s = sorted(times)
-
-        def pct(p):
-            return s[min(len(s) - 1, int(round(p / 100 * (len(s) - 1))))] \
-                if s else 0.0
-
+        t = self.step_timer.windowed(window)
+        mean = t.mean
         return {
             "step_ms_mean": mean * 1e3,
-            "step_ms_p50": pct(50) * 1e3,
-            "step_ms_p95": pct(95) * 1e3,
-            "edges_per_sec": self.edges_per_step / mean if mean else 0.0,
+            "step_ms_p50": t.percentile(50) * 1e3,
+            "step_ms_p95": t.percentile(95) * 1e3,
+            "edges_per_sec": (self.edges_per_step / mean
+                              if t.times else 0.0),
         }
 
     def test_epoch(self, dump_uid: int | None = None,

@@ -34,6 +34,10 @@ class StepTimer:
     def mean(self) -> float:
         return sum(self.times) / max(1, len(self.times))
 
+    def windowed(self, window: int = 0) -> "StepTimer":
+        """View over the last `window` samples (0 = all) for mean/percentile."""
+        return StepTimer(times=self.times[-window:] if window else self.times)
+
     def percentile(self, p: float) -> float:
         if not self.times:
             return 0.0

@@ -59,15 +59,17 @@ def worker(args):
     src_l = jnp.asarray(parts.src_local)
     tgt_l = jnp.asarray(parts.tgt_local)
 
+    # partitions ride as jit ARGUMENTS, not closure constants: constants go
+    # into the remote-compile payload (HTTP 413 past ~100 MB at pod-scale E)
     fn = jax.jit(
-        lambda xx: ring_spmm_arrays(mesh, xx, src_l, tgt_l,
-                                    parts.rows_per_shard)[:U].sum(),
+        lambda xx, sl, tl: ring_spmm_arrays(mesh, xx, sl, tl,
+                                            parts.rows_per_shard)[:U].sum(),
         out_shardings=NamedSharding(mesh, P()))
-    v = float(fn(x))   # compile + warmup
+    v = float(fn(x, src_l, tgt_l))   # compile + warmup
     iters = args.iters
     t0 = time.perf_counter()
     for _ in range(iters):
-        v = float(fn(x))
+        v = float(fn(x, src_l, tgt_l))
     dt = (time.perf_counter() - t0) / iters
 
     if args.proc_id == 0:
