@@ -41,6 +41,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--gnn_layer", type=int)
     p.add_argument("--trnNum", type=int, dest="trn_num")
     p.add_argument("--load_model")
+    p.add_argument("--import_tf1",
+                   help="prefix of a reference tf.train.Saver checkpoint "
+                        "(its Models/<save_path>) to import weights + Adam "
+                        "moments + global step from (migration path; "
+                        "requires the tensorflow CPU wheel as reader)")
     p.add_argument("--shoot", type=int)
     p.add_argument("--keepRate", type=float, dest="keep_rate")
     p.add_argument("--tstEpoch", type=int, dest="tst_epoch")
@@ -140,6 +145,13 @@ def main() -> None:
     trainer = Trainer(cfg, bundle, ckpt_root=ns.ckpt_root, mesh=mesh)
     trainer.debug_uid = ns.uid
     log("Model Prepared")
+    if ns.import_tf1:
+        from sagnn_tpu.train.import_tf1 import import_tf1_checkpoint
+        imported = import_tf1_checkpoint(ns.import_tf1, cfg.model,
+                                         with_optimizer=True)
+        trainer.load_imported_params(**imported)
+        log(f"Imported TF1 checkpoint {ns.import_tf1} "
+            f"(global step {imported['step']})")
     if ns.profile_dir:
         # profile a throwaway epoch WITHOUT perturbing the real run: snapshot
         # optimizer/param state and the RNG, restore both afterwards

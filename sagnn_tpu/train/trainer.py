@@ -251,6 +251,54 @@ class Trainer:
                 lambda a: jax.device_put(a, rep), self.graphs["plans"])
         return out
 
+    def load_imported_params(self, params: Dict, mu: Optional[Dict] = None,
+                             nu: Optional[Dict] = None, step: int = 0
+                             ) -> None:
+        """Install externally-imported weights (e.g. a reference TF1 Saver
+        checkpoint via train.import_tf1), replacing the freshly-initialized
+        state. With mu/nu/step (the Adam moments + saved global step) the
+        optimizer state is reconstructed too, so training continues exactly
+        where the reference run stopped; otherwise Adam restarts at step 0.
+        """
+        def check(new, old):  # structure mismatch raises inside tree_map
+            if np.shape(new) != old.shape:
+                raise ValueError(f"imported param shape {np.shape(new)} "
+                                 f"!= model {old.shape}")
+
+        jax.tree_util.tree_map(check, params, self.state["params"])
+        if self.mesh is not None:
+            from sagnn_tpu.parallel.sharding import param_shardings
+            p_sh = param_shardings(self._rules, self.state["params"])
+            put = functools.partial(jax.tree_util.tree_map, jax.device_put)
+            rep = self._rules.replicated
+
+            def count():  # fresh buffer each use: the step donates state
+                return jax.device_put(np.int32(step), rep)
+
+            params = put(params, p_sh)
+            with self.mesh:
+                opt_state = jax.jit(self.optimizer.init)(params)
+            if mu is not None:
+                opt_state = (
+                    optax.ScaleByAdamState(count=count(), mu=put(mu, p_sh),
+                                           nu=put(nu, p_sh)),
+                    optax.ScaleByScheduleState(count=count()))
+        else:
+            def count():
+                return jnp.array(step, jnp.int32)
+
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            opt_state = self.optimizer.init(params)
+            if mu is not None:
+                opt_state = (
+                    optax.ScaleByAdamState(
+                        count=count(),
+                        mu=jax.tree_util.tree_map(jnp.asarray, mu),
+                        nu=jax.tree_util.tree_map(jnp.asarray, nu)),
+                    optax.ScaleByScheduleState(count=count()))
+        self.state = {"params": params, "opt_state": opt_state,
+                      "step": count()}
+
     # -- jitted bodies -----------------------------------------------------
 
     def _score_eval_impl(self, params, final_user, final_item, user_ids,
