@@ -65,6 +65,9 @@ def parse_args() -> argparse.Namespace:
     # TPU-native extensions (no reference analog)
     p.add_argument("--spmm_backend", choices=["xla", "pallas", "ring"],
                    help="propagation backend (ring needs --mesh_model > 1)")
+    p.add_argument("--spmm_chunk_size", type=int,
+                   help="pallas plan edges/chunk (default 0 = auto-select "
+                        "from the graph's block-fill histogram)")
     p.add_argument("--edge_norm", choices=["sym_sqrt", "mean"],
                    help="normalized propagation (non-parity): sym-sqrt "
                    "GCN-style or target-degree mean aggregation")

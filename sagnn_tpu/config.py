@@ -41,6 +41,9 @@ class ModelConfig:
     # or "pallas" (ops/spmm_pallas.py one-hot-matmul kernel, no scatter).
     spmm_backend: str = "xla"
     spmm_exact: bool = True         # pallas: 3-pass f32 MXU (parity) vs bf16
+    spmm_chunk_size: int = 0        # pallas plan edges/chunk; 0 = auto from
+                                    # the block-fill histogram (13% step win
+                                    # at gowalla-like fill vs fixed 1024)
     # Q2 variant: sym-sqrt degree-normalized propagation (what the
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).

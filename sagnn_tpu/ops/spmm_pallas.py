@@ -640,11 +640,43 @@ def sddmm_from_plans(x: jax.Array, y: jax.Array, fwd_plan: SpmmPlan,
 # Stacked per-interval plans for the model's lax.scan over intervals
 # ---------------------------------------------------------------------------
 
+def choose_chunk_size(tgt_stacked, edge_counts, num_tgt: int,
+                      candidates=(256, 512, 1024, 2048)) -> int:
+    """Pick the chunk size minimizing predicted SpMM cost for one direction.
+
+    Slots (real + padding) cost ~1 unit each (gather row + MXU column +
+    message stream); each chunk carries a fixed grid-step overhead worth
+    ~56 slots (calibrated on-chip: at gowalla scale, 0.5M-edge intervals,
+    CS 1024/512/256 measured 66.5/57.9/57.1 ms propagation — the 512->256
+    marginal trade of 47k slots for 968 chunks was a wash). High-fill
+    graphs (the 4M-edge bench) keep CS=1024; low-fill ones (few edges per
+    128-row target block) drop to 512/256 instead of padding every block's
+    tail chunk to 1024.
+    """
+    CHUNK_OVERHEAD = 56.0
+    g = tgt_stacked.shape[0]
+    num_blocks = max(1, -(-num_tgt // R))
+    hists = []
+    for k in range(g):
+        ne = int(edge_counts[k])
+        hists.append(np.bincount(
+            np.asarray(tgt_stacked[k][:ne]) // R, minlength=num_blocks))
+    best_cs, best_cost = candidates[0], None
+    for cs in candidates:
+        cost = 0.0
+        for h in hists:
+            chunks = np.maximum(1, -(-h // cs))  # empty blocks: 1 pad chunk
+            cost += float(chunks.sum()) * (cs + CHUNK_OVERHEAD)
+        if best_cost is None or cost < best_cost:
+            best_cs, best_cost = cs, cost
+    return best_cs
+
+
 def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
                         num_items: int, edge_counts,
                         track_edges: bool = False,
                         i_edge_ids=None,
-                        chunk_size: int = C) -> dict:
+                        chunk_size: int = 0) -> dict:
     """Build SpMM plans for every interval in both directions and stack them
     [g, ...] with a common chunk count per direction, for use under lax.scan.
 
@@ -662,13 +694,18 @@ def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
     if track_edges and i_edge_ids is None:
         raise ValueError("track_edges needs i_edge_ids (the i->u direction "
                          "permutation) so both plans share one edge order")
+    # chunk_size=0: auto-select per direction from the block-fill histogram
+    # (all intervals of a direction share one stacked plan shape, so the
+    # choice is per-direction, not per-interval)
+    u_cs = chunk_size or choose_chunk_size(u_tgt, edge_counts, num_users)
+    i_cs = chunk_size or choose_chunk_size(i_tgt, edge_counts, num_items)
     u_plans = [plan_spmm(u_src[k], u_tgt[k], num_users,
                          num_edges=int(edge_counts[k]),
-                         chunk_size=chunk_size,
+                         chunk_size=u_cs,
                          track_edges=track_edges) for k in range(g)]
     i_plans = [plan_spmm(i_src[k], i_tgt[k], num_items,
                          num_edges=int(edge_counts[k]),
-                         chunk_size=chunk_size,
+                         chunk_size=i_cs,
                          edge_ids=(i_edge_ids[k] if track_edges else None))
                for k in range(g)]
 

@@ -177,7 +177,8 @@ class Trainer:
                                         gb.i_tgt, gb.num_users, gb.num_items,
                                         gb.edge_counts,
                                         track_edges=tracked,
-                                        i_edge_ids=i_edge_ids)
+                                        i_edge_ids=i_edge_ids,
+                                        chunk_size=cfg.model.spmm_chunk_size)
             self.graphs["plans"] = {
                 "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
                 "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},

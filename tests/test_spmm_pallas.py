@@ -170,3 +170,53 @@ def test_native_planner_matches_python():
         if track:
             np.testing.assert_array_equal(nat.edge_slot, py.edge_slot)
             np.testing.assert_array_equal(nat.edge_pos, py.edge_pos)
+
+
+def test_choose_chunk_size():
+    """Auto chunk size: high-fill blocks keep CS=1024; low-fill blocks
+    (gowalla-like ~1.3k edges per 128-row target block) drop to 512/256
+    rather than padding every block's tail chunk to 1024."""
+    from sagnn_tpu.ops.spmm_pallas import choose_chunk_size
+
+    rng = np.random.default_rng(0)
+    num_tgt = 128 * 40
+
+    def stacked(edges_per_interval):
+        tgt = np.sort(rng.integers(0, num_tgt, edges_per_interval)
+                      .astype(np.int32))
+        return tgt[None, :], np.asarray([edges_per_interval])
+
+    # ~10.4k edges/block (the 4M-edge bench regime): fill at 1024 is high
+    t, ec = stacked(40 * 10_400)
+    assert choose_chunk_size(t, ec, num_tgt) == 1024
+    # ~1.3k edges/block (gowalla regime): tail-chunk padding dominates
+    t, ec = stacked(40 * 1_300)
+    assert choose_chunk_size(t, ec, num_tgt) in (256, 512)
+    # near-empty graph: smallest chunks
+    t, ec = stacked(40 * 8)
+    assert choose_chunk_size(t, ec, num_tgt) == 256
+
+
+def test_auto_chunk_plans_match_oracle():
+    """Plans built with auto-selected (non-1024) chunk sizes still compute
+    the exact segment sum."""
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans, spmm_apply
+
+    rng = np.random.default_rng(4)
+    U, I, E, D = 900, 700, 4000, 16
+    src, tgt = _random_graph(rng, U, I, E)   # user-direction: tgt = users
+    o = np.argsort(src, kind="stable")       # item-direction: tgt = items
+    isrc, itgt = tgt[o].copy(), src[o].copy()
+    plans = build_stacked_plans(src[None], tgt[None], isrc[None],
+                                itgt[None], U, I, np.asarray([E]))
+    assert plans["u"]["tgt_local"].shape[-1] < 1024  # auto picked smaller
+    x = jnp.asarray(rng.standard_normal((I, D)), jnp.float32)
+    u = plans["u"]
+    got = spmm_apply(x, jnp.asarray(u["src"][0]),
+                     jnp.asarray(u["tgt_local"][0]),
+                     jnp.asarray(u["chunk_block"][0]),
+                     jnp.asarray(u["chunk_first"][0]),
+                     plans["num_blocks_u"], U, exact=True)
+    want = np.zeros((U, D), np.float32)
+    np.add.at(want, tgt, np.asarray(x)[src])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
