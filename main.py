@@ -98,6 +98,10 @@ def parse_args() -> argparse.Namespace:
                    help="mesh 'model' axis size")
     p.add_argument("--profile_dir",
                    help="write a jax.profiler trace of epoch 0 here")
+    p.add_argument("--synth_users", type=int, default=2048,
+                   help="--data synthetic: number of users")
+    p.add_argument("--synth_items", type=int, default=4096,
+                   help="--data synthetic: number of items")
     return p.parse_args()
 
 
@@ -127,7 +131,8 @@ def main() -> None:
     cfg = build_config(ns)
     log("Start")
     if ns.data == "synthetic":
-        bundle = synthetic_dataset(num_users=2048, num_items=4096,
+        bundle = synthetic_dataset(num_users=ns.synth_users,
+                                   num_items=ns.synth_items,
                                    graph_num=cfg.model.graph_num,
                                    test_size=cfg.train.test_size,
                                    seed=cfg.train.seed)

@@ -60,3 +60,32 @@ def test_mesh_trainer_ring_backend(tmp_path, edge_norm):
     assert last["preLoss"] < first["preLoss"]
     mets = tr.test_epoch()
     assert 0.0 <= mets["HR"] <= 1.0
+
+
+def test_mesh_load_imported_params(tmp_path):
+    """Trainer.load_imported_params on a mesh: imported host arrays land in
+    the TP shardings (node tables split over 'model'), Adam moments and the
+    schedule count carry the imported step, and the sharded step consumes
+    the state (distinct count buffers — the step donates its state)."""
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               test_size=10, seed=2)
+    mesh = make_mesh(data=4, model=2)
+    tr = Trainer(CFG, bundle, ckpt_root=str(tmp_path), pad_multiple=64,
+                 mesh=mesh)
+    rng = np.random.default_rng(0)
+    host = jax.tree_util.tree_map(
+        lambda a: rng.standard_normal(a.shape).astype(np.float32),
+        jax.tree_util.tree_map(np.asarray, tr.state["params"]))
+    mu = jax.tree_util.tree_map(lambda a: 0.1 * a, host)
+    nu = jax.tree_util.tree_map(lambda a: np.abs(a) + 0.5, host)
+    tr.load_imported_params(host, mu=mu, nu=nu, step=11)
+    sh = tr.state["params"]["reg"]["u_embed"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec(None, "model", None)
+    adam = tr.state["opt_state"][0]
+    assert int(adam.count) == 11
+    assert adam.mu["reg"]["u_embed"].sharding.spec == sh.spec
+    np.testing.assert_array_equal(
+        np.asarray(tr.state["params"]["reg"]["u_embed"]),
+        host["reg"]["u_embed"])
+    tr.train_epoch(verbose=False)
+    assert int(tr.state["step"]) == 11 + CFG.train.trn_num // CFG.train.batch
