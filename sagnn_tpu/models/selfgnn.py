@@ -123,6 +123,22 @@ def reg_loss(params: Dict) -> jax.Array:
     return l2_sum(params["reg"])
 
 
+def topk_descending(scores: jnp.ndarray, k: int,
+                    recall_target: float = 1.0
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k over the last axis, descending, via approx_max_k.
+
+    lax.top_k lowers to a full sort on TPU (16 ms on [256, 41k] f32);
+    approx_max_k uses the TPU's optimized partial-reduction path (4.4 ms
+    at recall_target=1.0, which is exact; 1.8 ms at 0.95). approx_max_k
+    leaves the k winners only approximately ordered, so the k-wide result
+    is re-sorted with a (trivial) exact top_k.
+    """
+    vals, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    vals, order = jax.lax.top_k(vals, k)
+    return vals, jnp.take_along_axis(idx, order, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -600,7 +616,8 @@ class SelfGNN:
     def recommend_top_k(self, params: Dict, graphs: Dict[str, jnp.ndarray],
                         user_ids: jnp.ndarray, seq: jnp.ndarray,
                         seq_mask: jnp.ndarray, k: int = 10,
-                        exclude_seen: bool = True
+                        exclude_seen: bool = True,
+                        recall_target: float = 1.0
                         ) -> Tuple[jax.Array, jax.Array]:
         """Serving path: top-k items over the FULL catalog for a user batch.
 
@@ -608,7 +625,12 @@ class SelfGNN:
         sets); provided as the production inference surface. Scores every
         item with the same two-term head as model.py:169-173, optionally
         masking the user's own input sequence, and returns
-        (scores [B, k], item_ids [B, k]).
+        (scores [B, k], item_ids [B, k]) in descending score order.
+
+        Selection uses the TPU-optimized approx_max_k instead of the
+        sort-based lax.top_k (measured 16 -> 4.4 ms exact on [256, 41k],
+        1.8 ms at recall_target=0.95); recall_target=1.0 (default) is
+        exact, lower values trade recall for throughput.
         """
         final_user, final_item, _, _ = self.encode(params, graphs,
                                                    train=False)
@@ -621,7 +643,7 @@ class SelfGNN:
                 rows, seq.reshape(-1)].max(
                     (seq_mask.reshape(-1) > 0))
             scores = jnp.where(seen, -jnp.inf, scores)
-        return jax.lax.top_k(scores, k)
+        return topk_descending(scores, k, recall_target)
 
     def score_all_items(self, params: Dict, final_user: jnp.ndarray,
                         final_item: jnp.ndarray, user_ids: jnp.ndarray,

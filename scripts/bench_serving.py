@@ -1,0 +1,114 @@
+"""Serving-path benchmark: full-catalog top-k recommendation throughput.
+
+Two numbers matter for serving (scripts/recommend.py surface):
+  - encode latency: one full-graph forward (propagation + fusion) that
+    refreshes the catalog encodings — paid per model/catalog update;
+  - per-request scoring throughput: users/s through the two-term head +
+    full-catalog top-k from precomputed encodings (the per-query cost).
+
+Timing uses the chained-dispatch discipline from bench.py (the relay adds
+~16 ms per dispatch; chain data-dependent evals inside one jit).
+
+Usage: python scripts/bench_serving.py [--batch 256] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHAIN = 8
+ITERS = 10
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--num_users", type=int, default=49_152)
+    ap.add_argument("--num_items", type=int, default=40_960)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--recall", type=float, default=1.0,
+                    help="top-k recall target (1.0 = exact)")
+    ns = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=64,
+                          num_heads=4, ssldim=48, pos_length=200,
+                          keep_rate=1.0, spmm_backend=ns.backend),
+        train=TrainConfig(batch=ns.batch, samp_num=4, ssl_num=4,
+                          trn_num=1024, test_size=20),
+    )
+    bundle = synthetic_dataset(num_users=ns.num_users,
+                               num_items=ns.num_items, graph_num=3,
+                               test_size=20, seed=7, seq_len_range=(10, 50))
+    tr = Trainer(cfg, bundle, ckpt_root="/tmp/bench_serving_models")
+    model, graphs, params = tr.model, tr.graphs, tr.state["params"]
+    B, L = ns.batch, cfg.model.pos_length
+
+    rng = np.random.default_rng(0)
+    user_ids = jnp.asarray(rng.integers(0, ns.num_users, B, np.int32))
+    seq = jnp.asarray(rng.integers(1, ns.num_items, (B, L), np.int32))
+    mask = jnp.asarray((rng.random((B, L)) < 0.3).astype(np.float32))
+
+    def timeit(name, fn, *args, chain=1):
+        v = jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            v = fn(*args)
+            v = float(jax.tree_util.tree_leaves(v)[0].reshape(-1)[0])
+        ms = (time.perf_counter() - t0) / ITERS / chain * 1e3
+        print(f"{name:22s} {ms:8.2f} ms", file=sys.stderr)
+        return ms
+
+    # -- encode latency (single dispatch; includes one relay round trip) ---
+    @jax.jit
+    def encode(p):
+        fu, fi, _, _ = model.encode(p, graphs, train=False)
+        return fu, fi
+
+    enc_ms = timeit("encode (catalog)", encode, params)
+    fu, fi = jax.jit(encode)(params)
+
+    # -- scoring throughput: chained top-k over the full catalog from
+    # precomputed encodings (the per-query steady-state cost) -------------
+    from sagnn_tpu.models.selfgnn import topk_descending
+
+    @jax.jit
+    def head_chain(c0):
+        def body(c, _):
+            s = model.score_all_items(params, fu + c * 1e-12, fi, user_ids,
+                                      seq, mask)
+            top, ids = topk_descending(s, ns.k, ns.recall)
+            return c * 1e-20 + top[0, 0], None
+        c, _ = jax.lax.scan(body, c0, None, length=CHAIN)
+        return c
+
+    head_ms = timeit("score+topk /batch", head_chain, jnp.float32(0.0),
+                     chain=CHAIN)
+    qps = B / (head_ms / 1e3)
+    print(json.dumps({"encode_ms": round(enc_ms, 2),
+                      "score_topk_ms_per_batch": round(head_ms, 2),
+                      "users_per_s": round(qps),
+                      "batch": B, "k": ns.k, "items": ns.num_items,
+                      "backend": ns.backend}))
+
+
+if __name__ == "__main__":
+    main()

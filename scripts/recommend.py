@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--users", type=int, nargs="+", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--include_seen", action="store_true")
+    ap.add_argument("--recall", type=float, default=1.0,
+                    help="top-k recall target (1.0 = exact; <1 trades "
+                         "recall for throughput via approx_max_k)")
+    ap.add_argument("--synth_users", type=int, default=2048,
+                    help="--data synthetic: number of users (must match "
+                         "the checkpointed run)")
+    ap.add_argument("--synth_items", type=int, default=4096,
+                    help="--data synthetic: number of items")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +62,8 @@ def main():
                                                spmm_backend="xla"),
                      train=cfg.train, data=cfg.data)
     if args.data == "synthetic":
-        bundle = synthetic_dataset(num_users=2048, num_items=4096,
+        bundle = synthetic_dataset(num_users=args.synth_users,
+                                   num_items=args.synth_items,
                                    graph_num=cfg.model.graph_num,
                                    test_size=cfg.train.test_size,
                                    seed=cfg.train.seed)
@@ -87,7 +96,7 @@ def main():
     scores, items = tr.model.recommend_top_k(
         tr.state["params"], tr.graphs, jnp.asarray(users),
         jnp.asarray(seq), jnp.asarray(mask), k=args.k,
-        exclude_seen=not args.include_seen)
+        exclude_seen=not args.include_seen, recall_target=args.recall)
     scores, items = np.asarray(scores), np.asarray(items)
     for i, u in enumerate(users):
         print(json.dumps({"user": int(u),

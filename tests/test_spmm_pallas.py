@@ -146,21 +146,25 @@ def test_native_planner_matches_python():
     if not native_planner.available():
         pytest.skip("native planner not built")
     rng = np.random.default_rng(3)
-    for U, I, E, slices, track in ((700, 500, 9000, 1, False),
-                                   (700, 500, 9000, 1, True),
-                                   (64, 500, 5000, 4, True),
-                                   (2000, 100, 50, 1, True)):
+    # cs != 1024 cases pin the native planner at the auto-selected chunk
+    # sizes production now uses for low-fill graphs (choose_chunk_size)
+    for U, I, E, slices, track, cs in ((700, 500, 9000, 1, False, 1024),
+                                       (700, 500, 9000, 1, True, 1024),
+                                       (64, 500, 5000, 4, True, 1024),
+                                       (2000, 100, 50, 1, True, 1024),
+                                       (700, 500, 9000, 1, True, 512),
+                                       (2000, 100, 6000, 1, False, 256)):
         src, tgt = _random_graph(rng, U, I, E)
         eids = (np.random.default_rng(5).permutation(E).astype(np.int32)
                 if track else None)
         # python reference path (below the native-dispatch threshold)
         py = plan_spmm(src, tgt, U, num_slices=slices, edge_ids=eids,
-                       track_edges=track)
+                       track_edges=track, chunk_size=cs)
         nat = _plan_spmm_native(src.astype(np.int32), tgt.astype(np.int32),
                                 (eids if eids is not None else
                                  (np.arange(E, dtype=np.int32) if track
                                   else None)),
-                                E, U, None, True, 1024, slices, track,
+                                E, U, None, True, cs, slices, track,
                                 len(src))
         np.testing.assert_array_equal(nat.src, py.src)
         np.testing.assert_array_equal(nat.tgt_local, py.tgt_local)
