@@ -663,10 +663,14 @@ def choose_chunk_size(tgt_stacked, edge_counts, num_tgt: int,
             np.asarray(tgt_stacked[k][:ne]) // R, minlength=num_blocks))
     best_cs, best_cost = candidates[0], None
     for cs in candidates:
-        cost = 0.0
-        for h in hists:
-            chunks = np.maximum(1, -(-h // cs))  # empty blocks: 1 pad chunk
-            cost += float(chunks.sum()) * (cs + CHUNK_OVERHEAD)
+        # build_stacked_plans pads every interval to the LARGEST interval's
+        # chunk count, so the executed cost is g * max_k(chunks_k) — the
+        # max, not the sum (with skewed intervals the sum picks a chunk
+        # size that is worse under its own constants)
+        nc_max = max(
+            int(np.maximum(1, -(-h // cs)).sum())  # empty block: 1 pad chunk
+            for h in hists)
+        cost = g * nc_max * (cs + CHUNK_OVERHEAD)
         if best_cost is None or cost < best_cost:
             best_cs, best_cost = cs, cost
     return best_cs

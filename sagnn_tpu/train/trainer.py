@@ -267,6 +267,9 @@ class Trainer:
                                  f"!= model {old.shape}")
 
         jax.tree_util.tree_map(check, params, self.state["params"])
+        if (mu is None) != (nu is None):
+            raise ValueError("mu and nu must be given together (Adam's "
+                             "first and second moments)")
         if self.mesh is not None:
             from sagnn_tpu.parallel.sharding import param_shardings
             p_sh = param_shardings(self._rules, self.state["params"])
@@ -277,9 +280,10 @@ class Trainer:
                 return jax.device_put(np.int32(step), rep)
 
             params = put(params, p_sh)
-            with self.mesh:
-                opt_state = jax.jit(self.optimizer.init)(params)
-            if mu is not None:
+            if mu is None:
+                with self.mesh:
+                    opt_state = jax.jit(self.optimizer.init)(params)
+            else:
                 opt_state = (
                     optax.ScaleByAdamState(count=count(), mu=put(mu, p_sh),
                                            nu=put(nu, p_sh)),
@@ -289,14 +293,26 @@ class Trainer:
                 return jnp.array(step, jnp.int32)
 
             params = jax.tree_util.tree_map(jnp.asarray, params)
-            opt_state = self.optimizer.init(params)
-            if mu is not None:
+            if mu is None:
+                opt_state = self.optimizer.init(params)
+            else:
                 opt_state = (
                     optax.ScaleByAdamState(
                         count=count(),
                         mu=jax.tree_util.tree_map(jnp.asarray, mu),
                         nu=jax.tree_util.tree_map(jnp.asarray, nu)),
                     optax.ScaleByScheduleState(count=count()))
+        if mu is not None:
+            # the hand-built tuple is coupled to make_optimizer's chain
+            # layout; catch drift (e.g. an added transform) at install time
+            # instead of inside the donated jitted step
+            want = jax.tree_util.tree_structure(
+                jax.eval_shape(self.optimizer.init, self.state["params"]))
+            got = jax.tree_util.tree_structure(opt_state)
+            if got != want:
+                raise ValueError(
+                    f"imported optimizer state no longer matches "
+                    f"make_optimizer's chain: {got} != {want}")
         self.state = {"params": params, "opt_state": opt_state,
                       "step": count()}
 

@@ -80,3 +80,28 @@ def trace(logdir: Optional[str]):
 def block(tree):
     """Block until every array in a pytree is ready (for honest timing)."""
     return jax.block_until_ready(tree)
+
+
+def fetch_scalar(tree) -> float:
+    """Synchronize by FETCHING a value: on the axon relay,
+    jax.block_until_ready does not reliably wait for remote execution, so
+    honest timing must pull a scalar to the host."""
+    return float(jax.tree_util.tree_leaves(tree)[0].reshape(-1)[0])
+
+
+def time_scalar_fetch(fn, *args, iters: int = 8, chain: int = 1):
+    """Relay-honest timing: warm up (compile) AND synchronize via a scalar
+    fetch, then time `iters` calls each synchronized the same way. `chain`
+    divides out data-dependent iterations folded inside fn (see bench.py
+    _chain_steps — chaining amortizes the ~16 ms per-dispatch relay
+    latency without letting XLA hoist loop-invariant work).
+
+    Returns (ms_per_chained_step, last_fetched_value).
+    """
+    import time as _time
+    fetch_scalar(fn(*args))
+    t0 = _time.perf_counter()
+    v = 0.0
+    for _ in range(iters):
+        v = fetch_scalar(fn(*args))
+    return (_time.perf_counter() - t0) / iters / chain * 1e3, v

@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -67,41 +66,43 @@ def main() -> None:
     seq = jnp.asarray(rng.integers(1, ns.num_items, (B, L), np.int32))
     mask = jnp.asarray((rng.random((B, L)) < 0.3).astype(np.float32))
 
+    from sagnn_tpu.utils.profiling import time_scalar_fetch
+
     def timeit(name, fn, *args, chain=1):
-        v = jax.block_until_ready(fn(*args))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            v = fn(*args)
-            v = float(jax.tree_util.tree_leaves(v)[0].reshape(-1)[0])
-        ms = (time.perf_counter() - t0) / ITERS / chain * 1e3
+        ms, _ = time_scalar_fetch(fn, *args, iters=ITERS, chain=chain)
         print(f"{name:22s} {ms:8.2f} ms", file=sys.stderr)
         return ms
 
-    # -- encode latency (single dispatch; includes one relay round trip) ---
+    # -- encode latency (single dispatch; includes one relay round trip).
+    # params/graphs ride as jit ARGUMENTS (closure constants enter the
+    # remote-compile payload — HTTP 413 past ~100 MB).
     @jax.jit
-    def encode(p):
-        fu, fi, _, _ = model.encode(p, graphs, train=False)
+    def encode(p, g):
+        fu, fi, _, _ = model.encode(p, g, train=False)
         return fu, fi
 
-    enc_ms = timeit("encode (catalog)", encode, params)
-    fu, fi = jax.jit(encode)(params)
+    enc_ms = timeit("encode (catalog)", encode, params, graphs)
+    fu, fi = encode(params, graphs)
 
     # -- scoring throughput: chained top-k over the full catalog from
-    # precomputed encodings (the per-query steady-state cost) -------------
+    # precomputed encodings (the per-query steady-state cost). BOTH fu and
+    # fi are perturbed by the carry — fi feeds the sequence branch, so
+    # perturbing only fu would let XLA hoist that branch out of the scan
+    # and understate the per-request cost.
     from sagnn_tpu.models.selfgnn import topk_descending
 
     @jax.jit
-    def head_chain(c0):
+    def head_chain(p, fu, fi, c0):
         def body(c, _):
-            s = model.score_all_items(params, fu + c * 1e-12, fi, user_ids,
-                                      seq, mask)
+            s = model.score_all_items(p, fu + c * 1e-12, fi + c * 1e-12,
+                                      user_ids, seq, mask)
             top, ids = topk_descending(s, ns.k, ns.recall)
             return c * 1e-20 + top[0, 0], None
         c, _ = jax.lax.scan(body, c0, None, length=CHAIN)
         return c
 
-    head_ms = timeit("score+topk /batch", head_chain, jnp.float32(0.0),
-                     chain=CHAIN)
+    head_ms = timeit("score+topk /batch", head_chain, params, fu, fi,
+                     jnp.float32(0.0), chain=CHAIN)
     qps = B / (head_ms / 1e3)
     print(json.dumps({"encode_ms": round(enc_ms, 2),
                       "score_topk_ms_per_batch": round(head_ms, 2),

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -91,26 +90,32 @@ def main() -> None:
     model, graphs, params = tr.model, tr.graphs, tr.state["params"]
     reg_w, ssl_w = cfg.train.reg, cfg.train.ssl_reg
 
-    def loss_fn(p):
-        pre, ssl, _ = model.train_losses(p, graphs, batch, rng)
-        return pre + reg_w * reg_loss(p) + ssl_w * ssl
-
     def perturb(p, c):
         # data-dependence: next iteration's params depend on this one's
         # result so XLA cannot hoist the loop body (bench.py _chain_steps)
         return jax.tree_util.tree_map(lambda a: a + c, p)
 
+    # graphs/batch ride as jit ARGUMENTS everywhere below: closure
+    # constants enter the remote-compile payload (HTTP 413 past ~100 MB)
+
     @jax.jit
-    def fwd_chain(p):
+    def fwd_chain(p, graphs, batch):
         def body(c, _):
-            return loss_fn(perturb(p, c * 1e-12)) * 1e-20, None
+            pre, ssl, _ = model.train_losses(perturb(p, c * 1e-12), graphs,
+                                             batch, rng)
+            loss = pre + reg_w * reg_loss(p) + ssl_w * ssl
+            return loss * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
         return c
 
     @jax.jit
-    def grad_chain(p):
+    def grad_chain(p, graphs, batch):
+        def lf(q):
+            pre, ssl, _ = model.train_losses(q, graphs, batch, rng)
+            return pre + reg_w * reg_loss(q) + ssl_w * ssl
+
         def body(c, _):
-            loss, g = jax.value_and_grad(loss_fn)(perturb(p, c * 1e-12))
+            loss, g = jax.value_and_grad(lf)(perturb(p, c * 1e-12))
             gsum = sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g))
             return (loss + gsum) * 1e-20, None
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
@@ -119,19 +124,17 @@ def main() -> None:
     raw_step = make_train_step(model, tr.optimizer, reg_w, ssl_w)
 
     @jax.jit
-    def step_chain(state):
+    def step_chain(state, graphs, batch):
         def body(st, _):
             st, stats = raw_step(st, graphs, batch, rng)
             return st, stats["loss"]
         st, losses = jax.lax.scan(body, state, None, length=CHAIN)
         return losses[-1]
 
+    from sagnn_tpu.utils.profiling import time_scalar_fetch
+
     def timeit(name, fn, *args):
-        v = float(fn(*args))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            v = float(fn(*args))
-        ms = (time.perf_counter() - t0) / ITERS / CHAIN * 1e3
+        ms, v = time_scalar_fetch(fn, *args, iters=ITERS, chain=CHAIN)
         print(f"{name:8s} {ms:8.2f} ms/step   (check {v:.3e})",
               file=sys.stderr)
         return ms
@@ -143,49 +146,59 @@ def main() -> None:
                                               _user_weights)
         mcfg = cfg.model
 
-        def chain_of(fn, x0):
-            """Chain CHAIN data-dependent evals of fn(c) (c a f32 scalar
-            folded into fn's input) and return the jitted chain."""
+        def chain_of(fn):
+            """Chain CHAIN data-dependent evals of fn(c, ops) (c a f32
+            scalar folded into fn's input) under one jit; `ops` (the big
+            operand pytree) rides as a jit argument, not a closure."""
             @jax.jit
-            def run():
+            def run(ops):
                 def body(c, _):
-                    return fn(c * 1e-12) * 1e-20, None
-                c, _ = jax.lax.scan(body, jnp.float32(x0), None, length=CHAIN)
+                    return fn(c * 1e-12, ops) * 1e-20, None
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=CHAIN)
                 return c
             return run
 
-        uv, iv = jax.block_until_ready(_interval_propagation(
-            params, graphs, mcfg, ns.num_users, ns.num_items))
+        uv, iv = _interval_propagation(params, graphs, mcfg, ns.num_users,
+                                       ns.num_items)
         fu, fi = _temporal_fusion(params, uv, iv, mcfg, True, rng)
         uw = _user_weights(params, fu, uv, mcfg)
 
         def tsum(t):
             return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(t))
 
+        def padd(p, c):
+            return jax.tree_util.tree_map(lambda a: a + c, p)
+
         parts = {
-            "prop": chain_of(lambda c: tsum(_interval_propagation(
-                jax.tree_util.tree_map(lambda a: a + c, params), graphs,
-                mcfg, ns.num_users, ns.num_items)), 0.0),
-            "fusion": chain_of(lambda c: tsum(_temporal_fusion(
-                params, uv + c, iv + c, mcfg, True, rng)), 0.0),
-            "seq": chain_of(lambda c: tsum(_sequence_branch(
-                params, fi + c, batch.seq, batch.seq_mask, mcfg)), 0.0),
-            "meta": chain_of(lambda c: tsum(_user_weights(
-                params, fu + c, uv, mcfg)), 0.0),
-            "ssl": chain_of(lambda c: _ssl_loss(
-                params, batch, fu + c, fi, uv, iv, uw, mcfg), 0.0),
-            "reg": chain_of(lambda c: reg_loss(
-                jax.tree_util.tree_map(lambda a: a + c, params)), 0.0),
+            "prop": (lambda c, o: tsum(_interval_propagation(
+                padd(o["p"], c), o["g"], mcfg, ns.num_users, ns.num_items)),
+                {"p": params, "g": graphs}),
+            "fusion": (lambda c, o: tsum(_temporal_fusion(
+                o["p"], o["uv"] + c, o["iv"] + c, mcfg, True, rng)),
+                {"p": params, "uv": uv, "iv": iv}),
+            "seq": (lambda c, o: tsum(_sequence_branch(
+                o["p"], o["fi"] + c, o["b"].seq, o["b"].seq_mask, mcfg)),
+                {"p": params, "fi": fi, "b": batch}),
+            "meta": (lambda c, o: tsum(_user_weights(
+                o["p"], o["fu"] + c, o["uv"], mcfg)),
+                {"p": params, "fu": fu, "uv": uv}),
+            "ssl": (lambda c, o: _ssl_loss(
+                o["p"], o["b"], o["fu"] + c, o["fi"], o["uv"], o["iv"],
+                o["uw"], mcfg),
+                {"p": params, "b": batch, "fu": fu, "fi": fi, "uv": uv,
+                 "iv": iv, "uw": uw}),
+            "reg": (lambda c, o: reg_loss(padd(o["p"], c)), {"p": params}),
         }
-        for name, fn in parts.items():
+        for name, (fn, ops) in parts.items():
             if ns.only and name != ns.only:
                 continue
-            timeit(name, fn)
+            timeit(name, chain_of(fn), ops)
         return
 
-    fwd = timeit("fwd", fwd_chain, params)
-    fb = timeit("fwd+bwd", grad_chain, params)
-    full = timeit("full", step_chain, tr.state)
+    fwd = timeit("fwd", fwd_chain, params, graphs, batch)
+    fb = timeit("fwd+bwd", grad_chain, params, graphs, batch)
+    full = timeit("full", step_chain, tr.state, graphs, batch)
     print(f"derived: bwd {fb - fwd:.2f} ms, optimizer {full - fb:.2f} ms",
           file=sys.stderr)
     import json

@@ -48,9 +48,10 @@ def test_preset_shape_trains(name, tmp_path):
 
 
 def test_pred_num_zero_targets_penultimate():
-    """amazon's pred_num=0: the train target is ALWAYS sequence[-1] under
-    the reference's formula (choose=1 -> posset[-1] of the train-visible
-    sequence), never an earlier position."""
+    """amazon's pred_num=0: choose degenerates to 1, so the train target is
+    ALWAYS the penultimate item of the full sequence (posset = sequence[:-1]
+    with the test item held out; target = posset[-1] = sequence[-2]), never
+    an earlier position."""
     preset = PRESETS["amazon"]
     bundle = synthetic_dataset(num_users=16, num_items=30,
                                graph_num=preset.model.graph_num, test_size=8,

@@ -200,6 +200,17 @@ def test_choose_chunk_size():
     t, ec = stacked(40 * 8)
     assert choose_chunk_size(t, ec, num_tgt) == 256
 
+    # skewed intervals (one dense + many near-empty): plans pad every
+    # interval to the LARGEST interval's chunk count, so the dense
+    # interval dictates the choice — the cost is max_k(chunks), not sum_k
+    dense, _ = stacked(40 * 10_400)
+    E = dense.shape[1]
+    sparse = np.sort(rng.integers(0, num_tgt, 100).astype(np.int32))
+    rows = [dense[0]] + [np.pad(sparse, (0, E - len(sparse)))] * 11
+    t = np.stack(rows)
+    ec = np.asarray([E] + [len(sparse)] * 11)
+    assert choose_chunk_size(t, ec, num_tgt) == 1024
+
 
 def test_auto_chunk_plans_match_oracle():
     """Plans built with auto-selected (non-1024) chunk sizes still compute
