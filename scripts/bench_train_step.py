@@ -42,6 +42,9 @@ def main() -> None:
                     help="rebuild the pallas plans with this chunk size")
     ap.add_argument("--only", default=None,
                     help="with --parts: time only this component")
+    ap.add_argument("--bf16", action="store_true",
+                    help="throughput mode: spmm_exact=False (bf16 message "
+                         "stream) + fusion_dtype=bf16 (non-parity)")
     ns = ap.parse_args()
 
     import jax
@@ -57,7 +60,10 @@ def main() -> None:
     cfg = Config(
         model=ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=64,
                           num_heads=4, ssldim=48, pos_length=200,
-                          keep_rate=1.0, spmm_backend=ns.backend),
+                          keep_rate=1.0, spmm_backend=ns.backend,
+                          spmm_exact=not ns.bf16,
+                          fusion_dtype="bf16" if ns.bf16 else "f32",
+                          stable_softmax=ns.bf16),
         train=TrainConfig(batch=512, samp_num=40, ssl_num=40, trn_num=10_000,
                           test_size=1000, lr=2e-3, reg=1e-2, ssl_reg=1e-6),
     )
