@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="throughput mode: spmm_exact=False (bf16 message "
                          "stream) + fusion_dtype=bf16 (non-parity)")
+    ap.add_argument("--graph_num", type=int, default=3)
+    ap.add_argument("--gnn_layer", type=int, default=2)
     ns = ap.parse_args()
 
     import jax
@@ -58,7 +60,8 @@ def main() -> None:
     from sagnn_tpu.train.trainer import Trainer, make_train_step
 
     cfg = Config(
-        model=ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=64,
+        model=ModelConfig(graph_num=ns.graph_num, gnn_layer=ns.gnn_layer,
+                          att_layer=1, latdim=64,
                           num_heads=4, ssldim=48, pos_length=200,
                           keep_rate=1.0, spmm_backend=ns.backend,
                           spmm_exact=not ns.bf16,
@@ -71,7 +74,7 @@ def main() -> None:
           file=sys.stderr)
     bundle = synthetic_dataset(num_users=ns.num_users,
                                num_items=ns.num_items,
-                               graph_num=3, test_size=20, seed=7,
+                               graph_num=ns.graph_num, test_size=20, seed=7,
                                seq_len_range=(10, 50))
     edges = [m.nnz for m in bundle.sub_mats]
     print(f"interval edges: {edges}", file=sys.stderr)
