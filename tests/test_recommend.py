@@ -62,3 +62,25 @@ def test_top_k_excludes_seen():
     for b in range(B):
         seen = set(np.asarray(seq[b])[np.asarray(mask[b]) > 0].tolist())
         assert not seen & set(got[b].tolist())
+
+
+def test_topk_descending_exact():
+    """topk_descending(recall_target=1.0) must equal lax.top_k exactly —
+    same values in descending order — including -inf-masked columns (the
+    exclude_seen path) and duplicate scores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sagnn_tpu.models.selfgnn import topk_descending
+
+    rng = np.random.default_rng(0)
+    s = rng.standard_normal((64, 5000)).astype(np.float32)
+    s[rng.random(s.shape) < 0.1] = -np.inf      # masked "seen" items
+    s[:, 100] = s[:, 200]                        # forced ties
+    got_v, got_i = topk_descending(jnp.asarray(s), 10)
+    want_v, want_i = jax.lax.top_k(jnp.asarray(s), 10)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    # indices may differ only where values tie; scores at indices must match
+    np.testing.assert_array_equal(
+        np.take_along_axis(s, np.asarray(got_i), axis=1),
+        np.asarray(want_v))
