@@ -431,6 +431,155 @@ def spmm_from_plans(x: jax.Array, fwd_plan: SpmmPlan, bwd_plan: SpmmPlan,
 
 
 # ---------------------------------------------------------------------------
+# Source-SHARDED SpMM for huge node tables
+#
+# XLA's row-gather drops ~4.2x once the source operand exceeds the VMEM-
+# stageable size (measured on this chip: ~388 Mrows/s at ≤32 MB operands vs
+# ~90 Mrows/s at ≥64 MB, INDEPENDENT of the hot-set size — the gather
+# emitter switches strategy on operand size; there is no cache to exploit,
+# and popularity renumbering does nothing). Partitioning the EDGES by
+# source shard lets every gather read from a dynamic_slice of the table
+# that stays on the fast path; per-shard partial outputs accumulate over a
+# lax.scan exactly like the out-of-core sliced path (zero_init aliasing —
+# blocks a shard never touches stay zero, so empty (block, shard) pairs
+# emit NO chunks at all).
+# ---------------------------------------------------------------------------
+
+def _strip_empty_chunks(p: SpmmPlan) -> SpmmPlan:
+    """Drop all-padding chunks (empty blocks + tail pad) — valid only for
+    zero_init consumers, which keep unvisited blocks zero."""
+    keep = (p.tgt_local < R).any(axis=1)
+    if bool(keep.all()):
+        return p
+    cs = p.tgt_local.shape[-1]
+    return SpmmPlan(
+        src=p.src.reshape(-1, cs)[keep].reshape(-1),
+        tgt_local=p.tgt_local[keep],
+        chunk_block=p.chunk_block[keep],
+        chunk_first=p.chunk_first[keep],
+        num_blocks=p.num_blocks, num_tgt=p.num_tgt)
+
+
+def plan_spmm_src_sharded(src, tgt, num_tgt: int, num_src: int,
+                          shard_rows: int, num_edges: int | None = None,
+                          chunk_size: int = 0) -> dict:
+    """Build per-source-shard schedules, padded to a common chunk count.
+
+    Returns stacked [S, ...] plan arrays with shard-LOCAL source ids plus
+    the static counts spmm_apply_src_sharded needs. chunk_size=0
+    auto-selects with the choose_chunk_size cost model over the
+    (shard, block) fill histogram (executed cost: S * max-shard chunks).
+    """
+    src = np.asarray(src, np.int32)
+    tgt = np.asarray(tgt, np.int32)
+    if num_edges is None:
+        num_edges = int(np.searchsorted(tgt, num_tgt))
+    src, tgt = src[:num_edges], tgt[:num_edges]
+    S = max(1, -(-num_src // shard_rows))
+    sid = src // shard_rows
+    num_blocks = max(1, -(-num_tgt // R))
+    if chunk_size == 0:
+        hists = [np.bincount(tgt[sid == s] // R, minlength=num_blocks)
+                 for s in range(S)]
+        best, best_cost = 1024, None
+        for cs_ in (256, 512, 1024, 2048):
+            nc_max = max(
+                (int(np.where(h > 0, -(-h // cs_), 0).sum()) for h in hists),
+                default=1) or 1
+            cost = S * nc_max * (cs_ + 56.0)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = cs_, cost
+        chunk_size = best
+    plans = []
+    for s in range(S):
+        m = sid == s
+        p = plan_spmm(src[m] - s * shard_rows, tgt[m], num_tgt,
+                      num_edges=int(m.sum()), chunk_size=chunk_size)
+        plans.append(_strip_empty_chunks(p))
+    nc = max(max(p.num_chunks for p in plans), 1)
+    plans = [p if p.num_chunks == nc else plan_spmm_repad(p, nc)
+             for p in plans]
+    return {
+        "src": np.stack([p.src for p in plans]),
+        "tgt_local": np.stack([p.tgt_local for p in plans]),
+        "chunk_block": np.stack([p.chunk_block for p in plans]),
+        "chunk_first": np.stack([p.chunk_first for p in plans]),
+        "num_blocks": num_blocks, "num_tgt": num_tgt,
+        "shard_rows": shard_rows, "num_shards": S,
+    }
+
+
+def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
+                           tgt_local: jax.Array, chunk_block: jax.Array,
+                           chunk_first: jax.Array, num_blocks: int,
+                           num_tgt: int, shard_rows: int,
+                           exact: bool = True) -> jax.Array:
+    """out[t] = Σ_e x[src[e]] via per-source-shard fast-path gathers.
+
+    x: [num_src, D]; stacked [S, ...] arrays from plan_spmm_src_sharded.
+    One shard's messages are live at a time (doubles as out-of-core)."""
+    S = tgt_local.shape[0]
+    d = x.shape[-1]
+    pad = S * shard_rows - x.shape[0]
+    if pad > 0:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    if not exact:
+        x = x.astype(jnp.bfloat16)
+
+    def body(acc, sl):
+        s_idx, s_src, tl, cb, cf = sl
+        xs = jax.lax.dynamic_slice_in_dim(x, s_idx * shard_rows,
+                                          shard_rows, 0)
+        messages = jnp.take(xs, s_src, axis=0)
+        out = _segsum_pallas(messages, tl, cb, cf, num_blocks, exact=exact,
+                             zero_init=True)
+        return acc + out, None
+
+    acc0 = jnp.zeros(((num_blocks + 1) * R, d), jnp.float32)
+    out, _ = jax.lax.scan(
+        body, acc0, (jnp.arange(S, dtype=jnp.int32), src, tgt_local,
+                     chunk_block, chunk_first))
+    return out[:num_tgt]
+
+
+def _sharded_args(p: dict):
+    return ((jnp.asarray(p["src"]), jnp.asarray(p["tgt_local"]),
+             jnp.asarray(p["chunk_block"]), jnp.asarray(p["chunk_first"])),
+            int(p["num_blocks"]), int(p["num_tgt"]), int(p["shard_rows"]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def spmm_src_sharded(x: jax.Array, fwd_arrays: Tuple, bwd_arrays: Tuple,
+                     fwd_nb: int, fwd_nt: int, fwd_sr: int,
+                     bwd_nb: int, bwd_nt: int, bwd_sr: int,
+                     num_src: int, exact: bool = True) -> jax.Array:
+    """Differentiable source-sharded A @ x; backward is the transpose
+    direction's sharded plan (bwd shards partition the TARGET space of the
+    forward). num_src: x's true row count (the bwd output is sliced to it).
+    """
+    return spmm_apply_src_sharded(x, *fwd_arrays, fwd_nb, fwd_nt, fwd_sr,
+                                  exact=exact)
+
+
+def _spmm_ss_fwd(x, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, fwd_sr,
+                 bwd_nb, bwd_nt, bwd_sr, num_src, exact):
+    out = spmm_apply_src_sharded(x, *fwd_arrays, fwd_nb, fwd_nt, fwd_sr,
+                                 exact=exact)
+    return out, (fwd_arrays, bwd_arrays)
+
+
+def _spmm_ss_bwd(fwd_nb, fwd_nt, fwd_sr, bwd_nb, bwd_nt, bwd_sr, num_src,
+                 exact, res, g):
+    fwd_arrays, bwd_arrays = res
+    dx = spmm_apply_src_sharded(g, *bwd_arrays, bwd_nb, bwd_nt, bwd_sr,
+                                exact=exact)
+    return dx[:num_src], _float0s(fwd_arrays), _float0s(bwd_arrays)
+
+
+spmm_src_sharded.defvjp(_spmm_ss_fwd, _spmm_ss_bwd)
+
+
+# ---------------------------------------------------------------------------
 # SDDMM + weighted SpMM (mutually dual — each is the other's gradient)
 #
 # SDDMM (sampled dense-dense matmul): s_e = x[src_e] · y[tgt_e] for every

@@ -235,3 +235,50 @@ def test_auto_chunk_plans_match_oracle():
     want = np.zeros((U, D), np.float32)
     np.add.at(want, tgt, np.asarray(x)[src])
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_src_sharded_spmm_matches_oracle():
+    """Source-sharded SpMM (per-shard fast-path gathers + zero_init
+    accumulation) matches the dense oracle fwd and grad, including empty
+    shards and shard counts that do not divide num_src."""
+    from sagnn_tpu.ops.spmm_pallas import (plan_spmm_src_sharded,
+                                           spmm_apply_src_sharded,
+                                           spmm_src_sharded, _sharded_args)
+
+    rng = np.random.default_rng(7)
+    U, I, D, E = 900, 700, 16, 12000
+    src, tgt = _random_graph(rng, U, I, E)
+    # leave a source range untouched so one shard is empty
+    src = np.where((src >= 300) & (src < 400), 50, src).astype(np.int32)
+    X = rng.standard_normal((I, D)).astype(np.float32)
+    expect = np.zeros((U, D), np.float32)
+    np.add.at(expect, tgt, X[src])
+
+    for shard_rows in (100, 256, 1024):
+        p = plan_spmm_src_sharded(src, tgt, U, I, shard_rows)
+        assert p["num_shards"] == -(-I // shard_rows)
+        out = spmm_apply_src_sharded(
+            jnp.asarray(X), jnp.asarray(p["src"]),
+            jnp.asarray(p["tgt_local"]), jnp.asarray(p["chunk_block"]),
+            jnp.asarray(p["chunk_first"]), p["num_blocks"], U, shard_rows)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                                   atol=1e-4)
+
+    # differentiable wrapper: grad == transpose SpMM
+    o = np.argsort(src, kind="stable")
+    bsrc, btgt = tgt[o].copy(), src[o].copy()
+    fp = plan_spmm_src_sharded(src, tgt, U, I, 256)
+    bp = plan_spmm_src_sharded(bsrc, btgt, I, U, 256)
+    fa, fnb, fnt, fsr = _sharded_args(fp)
+    ba, bnb, bnt, bsr = _sharded_args(bp)
+    G = jnp.asarray(rng.standard_normal((U, D)).astype(np.float32))
+
+    def f(x):
+        return jnp.sum(spmm_src_sharded(x, fa, ba, fnb, fnt, fsr,
+                                        bnb, bnt, bsr, I) * G)
+
+    dx = jax.grad(f)(jnp.asarray(X))
+    import scipy.sparse as ssp
+    A = ssp.coo_matrix((np.ones(E), (tgt, src)), shape=(U, I)).tocsr()
+    np.testing.assert_allclose(np.asarray(dx), A.T @ np.asarray(G),
+                               rtol=1e-4, atol=1e-3)
