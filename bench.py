@@ -152,9 +152,10 @@ def main() -> None:
     nb_u = -(-NUM_USERS // 128)
     nb_i = -(-NUM_ITEMS // 128)
 
-    def propagation_pallas(u_emb, i_emb, plans):
+    def make_propagation_pallas(exact):
+      def propagation_pallas(u_emb, i_emb, plans):
         def hop(x, fwd, bwd, fnb, fnt, bnb, bnt):
-            agg = spmm(x, fwd, bwd, fnb, fnt, bnb, bnt, False)
+            agg = spmm(x, fwd, bwd, fnb, fnt, bnb, bnt, exact)
             return jnp.maximum(0.5 * agg, agg)
 
         def one(_, inp):
@@ -175,15 +176,27 @@ def main() -> None:
         _, (uv, iv) = jax.lax.scan(one, None,
                                    (u_emb, i_emb, plans["u"], plans["i"]))
         return uv.sum() + iv.sum()
+      return propagation_pallas
 
-    dt_pl, _ = _time_fn(_chain_steps(propagation_pallas), u_emb, i_emb,
-                        plans, iters=3)
+    # BOTH precision modes (VERDICT r1: the anchor is the f32 XLA path, so
+    # the parity-comparable number is exact=True; exact=False is the
+    # non-parity bf16 throughput mode — reported separately, not mixed in).
+    dt_exact, _ = _time_fn(_chain_steps(make_propagation_pallas(True)),
+                           u_emb, i_emb, plans, iters=3)
+    dt_exact /= CHAIN
+    log(f"Pallas exact (f32 parity): {dt_exact*1e3:.2f} ms/step, "
+        f"{edges_per_step/dt_exact/1e9:.3f} Gedges/s")
+    dt_pl, _ = _time_fn(_chain_steps(make_propagation_pallas(False)),
+                        u_emb, i_emb, plans, iters=3)
     dt_pl /= CHAIN
-    log(f"Pallas path: {dt_pl*1e3:.2f} ms/step, "
+    log(f"Pallas bf16 (throughput): {dt_pl*1e3:.2f} ms/step, "
         f"{edges_per_step/dt_pl/1e9:.3f} Gedges/s")
 
-    dt = dt_pl if dt_xla is None else min(dt_xla, dt_pl)
+    # headline = the parity-comparable exact mode (same f32 semantics as the
+    # frozen XLA anchor); the bf16 throughput mode rides extra JSON keys
+    dt = dt_exact if dt_xla is None else min(dt_xla, dt_exact)
     edges_per_sec = edges_per_step / dt
+    edges_per_sec_bf16 = edges_per_step / dt_pl
 
     if os.path.exists(anchor_path):
         with open(anchor_path) as f:
@@ -199,6 +212,12 @@ def main() -> None:
         "value": round(edges_per_sec / 1e9, 4),
         "unit": "Gedges/s/chip",
         "vs_baseline": round(edges_per_sec / anchor, 4),
+        # non-parity bf16 throughput mode, labeled separately (the anchor
+        # and `value` are both f32-exact, so vs_baseline is apples-to-apples)
+        "value_bf16": round(edges_per_sec_bf16 / 1e9, 4),
+        "vs_baseline_bf16": round(edges_per_sec_bf16 / anchor, 4),
+        "note": "value/vs_baseline: f32 parity mode vs the frozen f32 XLA "
+                "segment-sum anchor; _bf16: non-parity throughput mode",
     }))
 
 

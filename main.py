@@ -71,6 +71,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--edge_norm", choices=["sym_sqrt", "mean"],
                    help="normalized propagation (non-parity): sym-sqrt "
                    "GCN-style or target-degree mean aggregation")
+    p.add_argument("--edge_dropout_keep", type=float,
+                   help="functional edge dropout keep rate (non-parity Q1 "
+                   "variant; 1.0 = off, needs xla or pallas backend)")
     p.add_argument("--edge_attention", action="store_true", default=None,
                    help="GAT-style edge-attention propagation (non-parity; "
                    "needs --spmm_backend pallas)")

@@ -48,6 +48,13 @@ class ModelConfig:
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).
     edge_norm: Optional[str] = None  # None | "sym_sqrt" | "mean"
+    # Q1 variant: FUNCTIONAL edge dropout (what the reference's edgeDropout
+    # MEANT to do before the value-ignoring propagation neutered it,
+    # model.py:93-102): per-step Bernoulli edge mask scaled by 1/keep,
+    # drawn independently per direction like the reference's two
+    # edgeDropout calls. 1.0 = parity (off). Backends: xla, pallas
+    # (weighted kernel); not wired for ring (host-bucketed weights).
+    edge_dropout_keep: float = 1.0
     # sequence-parallel per-token attention (non-parity): shard the
     # pos_length axis over the mesh's 'model' axis and run ring attention
     # (K/V blocks rotate between ICI neighbors, flash-style streaming

@@ -89,13 +89,8 @@ class Sampler:
         b = self.bundle
         self._trn_csr = b.trn_mat.tocsr()
         self._sub_csrs = [m.tocsr() for m in b.sub_mats]
-        # Pre-extract per-user interval rows (nonzero columns) once; the
-        # reference re-densifies rows every batch (model.py:307).
-        self._interval_rows = [
-            [m.indices[m.indptr[u]:m.indptr[u + 1]]
-             for u in range(b.num_users)]
-            for m in self._sub_csrs
-        ]
+        self._rows_cache = None     # see _interval_rows
+        self._deg_cache = None      # see _max_train_deg
         self._native = None
         if self.backend in ("auto", "native"):
             from sagnn_tpu.data import native_sampler as ns
@@ -106,6 +101,34 @@ class Sampler:
             elif self.backend == "native":
                 raise RuntimeError("native sampler library unavailable "
                                    "(make -C sagnn_tpu/native)")
+
+    @property
+    def _interval_rows(self):
+        """Per-user interval rows (nonzero columns), built LAZILY on first
+        numpy-SSL use: the C++ sampler walks the CSR directly, so eagerly
+        materializing g × num_users small arrays (millions of allocations at
+        1M-user scale) would be pure startup waste when the native backend
+        is active. The reference re-densifies rows every batch
+        (model.py:307)."""
+        if self._rows_cache is None:
+            b = self.bundle
+            self._rows_cache = [
+                [m.indices[m.indptr[u]:m.indptr[u + 1]]
+                 for u in range(b.num_users)]
+                for m in self._sub_csrs
+            ]
+        return self._rows_cache
+
+    @property
+    def _max_train_deg(self):
+        """Exclusion-list width for full_sort_batch: the max train-row
+        degree, rounded up to a multiple of 64 so the device executable
+        shape is stable across runs of similar datasets."""
+        if self._deg_cache is None:
+            deg = np.diff(self._trn_csr.indptr)
+            self._deg_cache = max(
+                64, -(-int(deg.max(initial=1)) // 64) * 64)
+        return self._deg_cache
 
     # -- train ------------------------------------------------------------
 
@@ -281,17 +304,21 @@ class Sampler:
         user's own input interactions.
 
         Returns (user_ids [B], pos_items [B], seq [B, L], seq_mask [B, L],
-        excluded [B, num_items] bool, valid [B]). `excluded` marks the user's
-        train-matrix row (their interaction history); the positive itself is
-        always un-excluded (in validation mode it IS the last history item).
+        excl_idx [B, K] int32, valid [B]). `excl_idx` lists the user's
+        train-row item ids (their interaction history) minus the positive,
+        padded with num_items (an out-of-range id a mode="drop" device
+        scatter ignores); K is the dataset's max train degree. Host memory
+        is O(B·max_deg) instead of a dense [B, num_items] bool matrix —
+        the difference between 25 MB and 256 GB/batch at 1M items.
         """
         b = self.bundle
         B = self.batch
+        K = self._max_train_deg
         user_ids = np.zeros(B, dtype=np.int32)
         pos_items = np.zeros(B, dtype=np.int32)
         seq = np.zeros((B, self.pos_length), dtype=np.int32)
         seq_mask = np.zeros((B, self.pos_length), dtype=np.float32)
-        excluded = np.zeros((B, b.num_items), dtype=bool)
+        excl_idx = np.full((B, K), b.num_items, dtype=np.int32)
         valid = np.zeros(B, dtype=np.float32)
 
         for i, u in enumerate(bat_ids):
@@ -303,10 +330,10 @@ class Sampler:
                 posset = b.sequences[u][:-1]
             row = self._trn_csr.indices[
                 self._trn_csr.indptr[u]:self._trn_csr.indptr[u + 1]]
-            excluded[i, row] = True
-            excluded[i, pos] = False
+            row = row[row != pos]  # the positive is never excluded
+            excl_idx[i, :len(row)] = row
             user_ids[i] = u
             pos_items[i] = pos
             seq[i], seq_mask[i] = _fill_sequence(posset, self.pos_length)
             valid[i] = 1.0
-        return user_ids, pos_items, seq, seq_mask, excluded, valid
+        return user_ids, pos_items, seq, seq_mask, excl_idx, valid

@@ -145,8 +145,14 @@ def topk_descending(scores: jnp.ndarray, k: int,
 
 def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
                           cfg: ModelConfig, num_users: int, num_items: int,
-                          mesh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                          mesh=None, dropout_rng: Optional[jax.Array] = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """LightGCN-style propagation per interval (model.py:118-129).
+
+    dropout_rng: when given and cfg.edge_dropout_keep < 1 (non-parity Q1
+    variant), a per-step Bernoulli edge mask scaled by 1/keep is folded
+    into the edge weights — drawn independently per direction, matching
+    the reference's two separate edgeDropout calls (model.py:121-122).
 
     Returns user_vec [g, U, D], item_vec [g, I, D] — the layer-summed
     per-interval node states. Implemented as a lax.scan over the interval
@@ -161,6 +167,12 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
     built by parallel.edge_partition.build_interval_ring_partitions).
     """
     leaky = cfg.leaky
+    drop = dropout_rng is not None and cfg.edge_dropout_keep < 1.0
+
+    def dropout_mask(key, w):
+        keep = cfg.edge_dropout_keep
+        m = jax.random.bernoulli(key, keep, w.shape).astype(w.dtype)
+        return w * m / keep
 
     def scan_body(f):
         # remat_propagation: recompute hop activations in the backward pass
@@ -168,6 +180,8 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
         return jax.checkpoint(f) if cfg.remat_propagation else f
 
     if cfg.spmm_backend == "ring":
+        assert not drop, ("edge_dropout_keep < 1 is not wired for the ring "
+                          "backend (weights are host-bucketed)")
         assert mesh is not None, "ring backend needs the model's mesh"
         assert "ring" in graphs, "ring backend needs graphs['ring']"
         from sagnn_tpu.parallel.edge_partition import (
@@ -215,7 +229,7 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
         return user_vec, item_vec
 
     use_pallas = cfg.spmm_backend == "pallas"
-    weighted = cfg.edge_norm is not None
+    weighted = cfg.edge_norm is not None or drop
     if weighted and cfg.spmm_backend == "xla":
         # pallas reads edge_weights_canon (or edge_weights as the sym_sqrt
         # fallback below); ring reads its bucketed copies — only the XLA
@@ -323,6 +337,10 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
                     "pallas + edge_norm needs graphs['edge_weights_canon'] "
                     "or raw graphs['edge_weights'] (sym_sqrt only)")
                 w_u_canon = w_i_canon = graphs["edge_weights"][0]
+            if drop:
+                ku, ki = jax.random.split(dropout_rng)
+                w_u_canon = dropout_mask(ku, w_u_canon)
+                w_i_canon = dropout_mask(ki, w_i_canon)
         else:
             w_u_canon = w_i_canon = jnp.zeros((cfg.graph_num, 0), jnp.float32)
         _, (user_vec, item_vec) = jax.lax.scan(
@@ -349,6 +367,10 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
 
     if weighted:
         w_u, w_i = graphs["edge_weights"][0], graphs["edge_weights"][1]
+        if drop:
+            ku, ki = jax.random.split(dropout_rng)
+            w_u = dropout_mask(ku, w_u)
+            w_i = dropout_mask(ki, w_i)
     else:
         zeros = jnp.zeros((cfg.graph_num, 0), jnp.float32)
         w_u = w_i = zeros
@@ -564,9 +586,15 @@ class SelfGNN:
         Returns (final_user [U,D], final_item [I,D],
                  user_vec [g,U,D], item_vec [g,I,D]).
         """
+        drop_rng = None
+        if (train and rng is not None
+                and self.cfg.edge_dropout_keep < 1.0):
+            # split only when edge dropout is active so the parity path's
+            # LSTM-dropout key stream is untouched
+            rng, drop_rng = jax.random.split(rng)
         user_vec, item_vec = _interval_propagation(
             params, graphs, self.cfg, self.num_users, self.num_items,
-            mesh=self.mesh)
+            mesh=self.mesh, dropout_rng=drop_rng)
         final_user, final_item = _temporal_fusion(
             params, user_vec, item_vec, self.cfg, train, rng)
         return final_user, final_item, user_vec, item_vec

@@ -12,7 +12,8 @@ import optax
 from sagnn_tpu.config import Config
 from sagnn_tpu.models.selfgnn import SelfGNN, TrainBatch
 from sagnn_tpu.parallel.sharding import (
-    ShardingRules, batch_shardings, graph_shardings, param_shardings,
+    ShardingRules, batch_shardings, graph_shardings, opt_state_shardings,
+    param_shardings,
 )
 from sagnn_tpu.train.trainer import make_train_step
 
@@ -26,7 +27,12 @@ def init_sharded_state(rules: ShardingRules, model: SelfGNN,
     abstract = jax.eval_shape(model.init, key)
     p_sh = param_shardings(rules, abstract)
     params = jax.jit(model.init, out_shardings=p_sh)(key)
-    opt_state = jax.jit(optimizer.init)(params)
+    # explicit out_shardings: moments mirror params, scalar counts
+    # REPLICATED (a bare jit would commit them to one device, which breaks
+    # cross-mesh checkpoint restore templates)
+    o_sh = opt_state_shardings(rules, jax.eval_shape(optimizer.init, params),
+                               p_sh)
+    opt_state = jax.jit(optimizer.init, out_shardings=o_sh)(params)
     step = jax.device_put(jax.numpy.zeros((), jax.numpy.int32),
                           rules.replicated)
     return {"params": params, "opt_state": opt_state, "step": step}

@@ -104,14 +104,13 @@ def batch_shardings(rules: ShardingRules, batch) -> object:
 
 
 def opt_state_shardings(rules: ShardingRules, opt_state, params_sh):
-    """Adam moments mirror the param shardings; scalars replicated."""
-    p_leaves = {id(l) for l in jax.tree_util.tree_leaves(params_sh)}
+    """Shardings for the optimizer state: Adam moments mirror the param
+    shardings; every other leaf (step counts, schedule state) is replicated.
 
-    def assign(leaf):
-        return rules.replicated
-
-    # optax adam state: ScaleByAdamState(count, mu, nu) with mu/nu pytrees
-    # shaped like params — map params_sh onto them where structure matches.
+    Used as optimizer.init's out_shardings — without it, scalar counts come
+    out SingleDeviceSharding-committed, which poisons checkpoint restore
+    templates (a restored state would mix single-device scalars with
+    mesh-sharded params in one jitted step)."""
     import optax
 
     def map_state(s):
@@ -120,9 +119,6 @@ def opt_state_shardings(rules: ShardingRules, opt_state, params_sh):
                 count=rules.replicated, mu=params_sh, nu=params_sh)
         if isinstance(s, tuple) and not hasattr(s, "_fields"):
             return tuple(map_state(x) for x in s)
-        if hasattr(s, "_fields"):  # other namedtuple states
-            return type(s)(*[jax.tree_util.tree_map(assign, x)
-                             for x in s])
-        return jax.tree_util.tree_map(assign, s)
+        return jax.tree_util.tree_map(lambda _: rules.replicated, s)
 
     return map_state(opt_state)

@@ -15,7 +15,6 @@ import os
 from typing import Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from sagnn_tpu.train.metrics import MetricsHistory
@@ -43,25 +42,42 @@ class CheckpointManager:
              config=None) -> None:
         """config: optional sagnn_tpu.config.Config persisted alongside the
         weights so inference tooling (scripts/recommend.py) can rebuild the
-        exact model without the training command line."""
-        state = jax.tree_util.tree_map(np.asarray, state)
+        exact model without the training command line.
+
+        Sharded arrays are saved AS-IS: orbax writes each process's local
+        shards directly, so a TP/DP-sharded state never gathers through one
+        host's memory (the round-1 np.asarray gather forced full replication
+        and broke exactly when multi-process training landed). Restoring
+        onto a different mesh shape works because restore() takes the target
+        state's shardings as the template (see restore)."""
+        import shutil
         path = self._state_dir
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            import shutil
+        multiproc = jax.process_count() > 1
+        lead = jax.process_index() == 0
+        if lead and os.path.exists(tmp):
             shutil.rmtree(tmp)
-        self._ckpt.save(tmp, state)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_tmp_clear")
+        self._ckpt.save(tmp, state)          # collective when multi-process
         self._ckpt.wait_until_finished()
-        if os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        with open(self._history_path, "w") as f:
-            json.dump(history.data, f)
-        if config is not None:
-            import dataclasses
-            with open(self._config_path, "w") as f:
-                json.dump(dataclasses.asdict(config), f, indent=1)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_written")
+        if lead:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            with open(self._history_path, "w") as f:
+                json.dump(history.data, f)
+            if config is not None:
+                import dataclasses
+                with open(self._config_path, "w") as f:
+                    json.dump(dataclasses.asdict(config), f, indent=1)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_committed")
 
     def load_config(self):
         """Rebuild the Config saved alongside the checkpoint (or None)."""
@@ -77,9 +93,21 @@ class CheckpointManager:
 
     def restore(self, abstract_state: Dict
                 ) -> Tuple[Optional[Dict], MetricsHistory]:
+        """abstract_state: a state pytree (concrete or abstract) whose
+        shapes/dtypes/SHARDINGS are the restore targets — restoring onto a
+        different mesh than the save reshards on load."""
         if not os.path.exists(self._state_dir):
             return None, MetricsHistory()
-        state = self._ckpt.restore(self._state_dir, abstract_state)
+
+        def as_abstract(x):
+            sh = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(jnp_shape(x), x.dtype, sharding=sh)
+
+        def jnp_shape(x):
+            return getattr(x, "shape", ())
+
+        template = jax.tree_util.tree_map(as_abstract, abstract_state)
+        state = self._ckpt.restore(self._state_dir, template)
         hist = MetricsHistory()
         if os.path.exists(self._history_path):
             with open(self._history_path) as f:

@@ -139,19 +139,32 @@ class Trainer:
             bundle.sub_mats, pad_multiple=pad_multiple)
         self.graphs = graphs_to_device(self.graph_blocks)
         weighted = cfg.model.edge_norm is not None
+        edge_drop = cfg.model.edge_dropout_keep < 1.0
+        if edge_drop:
+            assert cfg.model.spmm_backend in ("xla", "pallas"), (
+                "edge_dropout_keep < 1 needs the xla or pallas backend "
+                "(ring weights are host-bucketed)")
         ew_np = None  # host-side [2, g, E]; device copy only where consumed
         if weighted:
             from sagnn_tpu.data.graph import edge_weights
             ew_np = edge_weights(self.graph_blocks, bundle.sub_mats,
                                  norm=cfg.model.edge_norm)
-            if cfg.model.spmm_backend == "xla":
-                # only the XLA backend reads the raw per-direction weights;
-                # pallas uses edge_weights_canon, ring uses bucketed copies
-                self.graphs["edge_weights"] = jnp.asarray(ew_np)
+        elif edge_drop:
+            # dropout-only: unit base weights; pad edges are masked by the
+            # plan/segment layout, so ones everywhere are safe
+            gb_ = self.graph_blocks
+            ew_np = np.ones((2, gb_.graph_num, gb_.u_src.shape[1]),
+                            np.float32)
+        if ew_np is not None and cfg.model.spmm_backend == "xla":
+            # only the XLA backend reads the raw per-direction weights;
+            # pallas uses edge_weights_canon, ring uses bucketed copies
+            self.graphs["edge_weights"] = jnp.asarray(ew_np)
         if cfg.model.edge_attention:
             assert cfg.model.spmm_backend == "pallas", (
                 "edge_attention requires spmm_backend='pallas'")
-            assert not weighted, "edge_attention and edge_norm are exclusive"
+            assert not weighted and not edge_drop, (
+                "edge_attention is exclusive with edge_norm/edge_dropout "
+                "(attention IS the edge weighting)")
         if cfg.model.seq_parallel:
             assert cfg.model.per_token_seq_attention, (
                 "seq_parallel shards the per-token sequence attention; "
@@ -164,12 +177,12 @@ class Trainer:
         if cfg.model.spmm_backend == "pallas":
             from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
             gb = self.graph_blocks
-            tracked = weighted or cfg.model.edge_attention
+            tracked = weighted or cfg.model.edge_attention or edge_drop
             i_edge_ids = None
             if tracked:
                 from sagnn_tpu.data.graph import direction_permutation
                 i_edge_ids = direction_permutation(gb, bundle.sub_mats)
-            if weighted:
+            if weighted or edge_drop:
                 from sagnn_tpu.data.graph import edge_weights_canonical
                 self.graphs["edge_weights_canon"] = jnp.asarray(
                     edge_weights_canonical(ew_np, i_edge_ids))
@@ -325,11 +338,14 @@ class Trainer:
         return topk_metrics(scores, ks=(1, 5, 10, 15, 20), valid=valid)
 
     def _full_sort_eval_impl(self, params, final_user, final_item, user_ids,
-                             pos_items, seq, seq_mask, excluded, valid):
+                             pos_items, seq, seq_mask, excl_idx, valid):
         from sagnn_tpu.train.metrics import full_sort_metrics
         scores = self.model.score_all_items(
             params, final_user, final_item, user_ids, seq, seq_mask)
-        scores = jnp.where(excluded, -jnp.inf, scores)
+        # excl_idx: [B, K] per-user history item ids, pad = num_items —
+        # out-of-range scatter indices are dropped (no dense [B, I] mask)
+        rows = jnp.arange(scores.shape[0])[:, None]
+        scores = scores.at[rows, excl_idx].set(-jnp.inf, mode="drop")
         return full_sort_metrics(scores, pos_items, valid=valid,
                                  ks=(1, 5, 10, 15, 20))
 

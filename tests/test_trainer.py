@@ -46,13 +46,14 @@ def test_full_sort_eval(bundle, tmp_path_factory):
                  ckpt_root=str(tmp_path_factory.mktemp("ckfs")),
                  pad_multiple=64)
     bat = np.asarray(bundle.tst_usrs)[:8]
-    user_ids, pos, seq, mask, excl, valid = tr.sampler.full_sort_batch(bat)
+    user_ids, pos, seq, mask, excl_idx, valid = tr.sampler.full_sort_batch(bat)
     trn = bundle.trn_mat.tocsr()
     for i, u in enumerate(bat):
         row = set(trn.indices[trn.indptr[u]:trn.indptr[u + 1]].tolist())
         assert pos[i] == bundle.tst_int[u]
-        assert not excl[i, pos[i]]  # positive never excluded
-        assert set(np.nonzero(excl[i])[0].tolist()) == row - {pos[i]}
+        ex = set(excl_idx[i][excl_idx[i] < bundle.num_items].tolist())
+        assert pos[i] not in ex  # positive never excluded
+        assert ex == row - {pos[i]}
     mets = tr.test_epoch(full_sort=True)
     assert 0.0 <= mets["HR"] <= 1.0
     assert 0.0 <= mets["NDCG"] <= mets["HR"] + 1e-9

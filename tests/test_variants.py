@@ -413,3 +413,69 @@ def test_edge_attention_trainer_smoke():
         for _ in range(3):
             last = tr.train_epoch(verbose=False)
         assert last["preLoss"] < first["preLoss"]
+
+
+def test_edge_dropout_wired_model_level():
+    """cfg.edge_dropout_keep (the WIRED Q1 variant): without a dropout rng
+    (eval / parity) propagation is bit-equal to the unweighted path; with a
+    rng it perturbs the output — on both the xla and pallas backends."""
+    from sagnn_tpu.data.graph import direction_permutation
+    from sagnn_tpu.models.selfgnn import _interval_propagation
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               seed=9)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    E = gb.u_src.shape[1]
+    ones = np.ones((2, 2, E), np.float32)
+    graphs["edge_weights"] = jnp.asarray(ones)
+    graphs["edge_weights_canon"] = jnp.asarray(ones)
+    perm = direction_permutation(gb, bundle.sub_mats)
+    plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt,
+                                gb.num_users, gb.num_items, gb.edge_counts,
+                                track_edges=True, i_edge_ids=perm)
+    graphs["plans"] = {
+        "u": {k: jnp.asarray(v) for k, v in plans["u"].items()},
+        "i": {k: jnp.asarray(v) for k, v in plans["i"].items()},
+    }
+    base = dict(graph_num=2, gnn_layer=2, latdim=16, num_heads=4, ssldim=8,
+                pos_length=10)
+    for backend in ("xla", "pallas"):
+        cfg = ModelConfig(**base, spmm_backend=backend,
+                          edge_dropout_keep=0.7)
+        cfg0 = ModelConfig(**base, spmm_backend=backend)
+        params = SelfGNN(cfg, 48, 64).init(jax.random.PRNGKey(3))
+        uv0, _ = _interval_propagation(params, graphs, cfg0, 48, 64)
+        uv_no_rng, _ = _interval_propagation(params, graphs, cfg, 48, 64)
+        np.testing.assert_allclose(np.asarray(uv_no_rng), np.asarray(uv0),
+                                   rtol=2e-6, atol=2e-6)
+        uv_d, _ = _interval_propagation(params, graphs, cfg, 48, 64,
+                                        dropout_rng=jax.random.PRNGKey(7))
+        assert not np.allclose(np.asarray(uv_d), np.asarray(uv0))
+
+
+def test_edge_dropout_trainer_smoke():
+    """Trainer wiring: --edge_dropout_keep trains end-to-end (pallas
+    backend builds tracked plans + unit canonical weights automatically)."""
+    import tempfile
+    from sagnn_tpu.config import Config, TrainConfig
+    from sagnn_tpu.train.trainer import Trainer
+
+    bundle = synthetic_dataset(num_users=24, num_items=32, graph_num=2,
+                               test_size=8, seed=18)
+    cfg = Config(
+        model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                          num_heads=4, ssldim=8, pos_length=12,
+                          keep_rate=1.0, edge_dropout_keep=0.8,
+                          spmm_backend="pallas"),
+        train=TrainConfig(batch=8, samp_num=3, ssl_num=2, trn_num=16,
+                          test_size=8, lr=1e-2),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        tr = Trainer(cfg, bundle, ckpt_root=d, pad_multiple=32)
+        first = tr.train_epoch(verbose=False)
+        assert np.isfinite(first["Loss"])
+        for _ in range(3):
+            last = tr.train_epoch(verbose=False)
+        assert last["preLoss"] < first["preLoss"]
