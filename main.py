@@ -68,6 +68,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--spmm_chunk_size", type=int,
                    help="pallas plan edges/chunk (default 0 = auto-select "
                         "from the graph's block-fill histogram)")
+    p.add_argument("--spmm_src_shard_rows", type=int,
+                   help="source-sharded pallas SpMM for huge node tables "
+                        "(0 = auto past the ~32 MB gather cliff, -1 = off, "
+                        ">0 = rows per source shard)")
     p.add_argument("--edge_norm", choices=["sym_sqrt", "mean"],
                    help="normalized propagation (non-parity): sym-sqrt "
                    "GCN-style or target-degree mean aggregation")
@@ -92,6 +96,9 @@ def parse_args() -> argparse.Namespace:
                    "999-precomputed-negative protocol")
     p.add_argument("--fusion_dtype", choices=["f32", "bf16"],
                    help="temporal-fusion/attention compute dtype")
+    p.add_argument("--fusion_chunk_rows", type=int,
+                   help="stream temporal fusion in node blocks of this "
+                        "size (memory bound at huge node counts; 0 = off)")
     p.add_argument("--remat", action="store_true", default=None,
                    dest="remat_propagation",
                    help="rematerialize propagation in the backward pass")
@@ -105,6 +112,10 @@ def parse_args() -> argparse.Namespace:
                    help="--data synthetic: number of users")
     p.add_argument("--synth_items", type=int, default=4096,
                    help="--data synthetic: number of items")
+    p.add_argument("--synth_edges", type=int, default=0,
+                   help="--data synthetic: total edge budget; >0 switches "
+                        "to the vectorized large-scale generator "
+                        "(1M+ users / 100M+ edges)")
     return p.parse_args()
 
 
@@ -134,7 +145,15 @@ def main() -> None:
     cfg = build_config(ns)
     log("Start")
     if ns.data == "synthetic":
-        bundle = synthetic_dataset(num_users=ns.synth_users,
+        if ns.synth_edges > 0:
+            from sagnn_tpu.data.synthetic import synthetic_large_dataset
+            bundle = synthetic_large_dataset(
+                num_users=ns.synth_users, num_items=ns.synth_items,
+                total_edges=ns.synth_edges,
+                graph_num=cfg.model.graph_num,
+                test_size=cfg.train.test_size, seed=cfg.train.seed)
+        else:
+            bundle = synthetic_dataset(num_users=ns.synth_users,
                                    num_items=ns.synth_items,
                                    graph_num=cfg.model.graph_num,
                                    test_size=cfg.train.test_size,

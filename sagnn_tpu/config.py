@@ -44,6 +44,14 @@ class ModelConfig:
     spmm_chunk_size: int = 0        # pallas plan edges/chunk; 0 = auto from
                                     # the block-fill histogram (13% step win
                                     # at gowalla-like fill vs fixed 1024)
+    # SOURCE-SHARDED pallas SpMM for huge node tables: XLA's row-gather
+    # drops ~4.2x once the source operand passes ~32 MB (measured, see
+    # ops/spmm_pallas.py); sharding the table keeps every gather on the
+    # fast path (5.1x on 100M-edge graphs). 0 = auto (Trainer enables it,
+    # with a ~32 MB/latdim shard size, when a node table crosses the
+    # cliff); -1 = force off; >0 = explicit rows per source shard.
+    # Unweighted parity propagation only (no edge_norm/dropout/attention).
+    spmm_src_shard_rows: int = 0
     # Q2 variant: sym-sqrt degree-normalized propagation (what the
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).
@@ -72,6 +80,10 @@ class ModelConfig:
     # (jax.checkpoint): activations of the g×gnn_layer×2 hops are recomputed
     # instead of stored — trades FLOPs for HBM on large graphs
     remat_propagation: bool = False
+    # stream the temporal-fusion node axis in blocks of this many rows
+    # (lax.map; the stack is row-parallel per node): bounds the live
+    # LSTM/attention temporaries at huge node counts. 0 = unchunked.
+    fusion_chunk_rows: int = 0
     # compute dtype for the temporal-fusion + sequence-attention stack
     # (LSTM, MHSAs): "bf16" halves the bandwidth of the [N, g, D] streams on
     # the MXU-heavy fusion path; params and losses stay f32. Parity mode

@@ -185,18 +185,62 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
         assert mesh is not None, "ring backend needs the model's mesh"
         assert "ring" in graphs, "ring backend needs graphs['ring']"
         from sagnn_tpu.parallel.edge_partition import (
-            _round_up, ring_spmm_arrays)
+            _round_up, ring_spmm_arrays, ring_spmm_pallas)
         ring = graphs["ring"]
         ring_weighted = cfg.edge_norm is not None
-        if ring_weighted:
-            assert "u_weights" in ring, (
-                "edge_norm set but graphs['ring'] carries no bucketed "
-                "weights (build_interval_ring_partitions(weights=...))")
         P_ = mesh.shape["model"]
         rows_u = _round_up(-(-num_users // P_), 8)
         rows_i = _round_up(-(-num_items // P_), 8)
         pad_u = P_ * rows_u - num_users
         pad_i = P_ * rows_i - num_items
+
+        if "u_plan" in ring:
+            # Pallas segment-sum on the ring (ring_spmm_pallas): each
+            # bucket aggregation runs the one-hot-matmul kernel instead of
+            # XLA's scatter; valid for unweighted/symmetric weights (the
+            # paired-plan VJP transposes exactly then)
+            assert cfg.edge_norm in (None, "sym_sqrt"), (
+                "pallas ring supports unweighted or symmetric weights; "
+                "direction-dependent norms use the XLA ring")
+            from sagnn_tpu.ops.spmm_pallas import R as _R
+            nb_u = -(-rows_u // _R)
+            nb_i = -(-rows_i // _R)
+            keys = ("src", "tgt_local", "chunk_block", "chunk_first")
+            if ring_weighted:
+                keys = keys + ("weights",)
+
+            def hop_pl(x, fwd, bwd, rf, nbf, rb, nbb):
+                agg = ring_spmm_pallas(mesh, x, fwd, bwd, rf, nbf, rb, nbb,
+                                       "model")
+                return jnp.maximum(leaky * agg, agg)
+
+            def one_interval_pl(_, inp):
+                u0, i0, pu, pi = inp
+                u0 = jnp.pad(u0, ((0, pad_u), (0, 0)))
+                i0 = jnp.pad(i0, ((0, pad_i), (0, 0)))
+                fu = tuple(pu[k] for k in keys)
+                fi = tuple(pi[k] for k in keys)
+                embs0, embs1 = [u0], [i0]
+                for _l in range(cfg.gnn_layer):
+                    a0 = hop_pl(embs1[-1], fu, fi, rows_u, nb_u, rows_i,
+                                nb_i)
+                    a1 = hop_pl(embs0[-1], fi, fu, rows_i, nb_i, rows_u,
+                                nb_u)
+                    embs0.append(a0 + embs0[-1])
+                    embs1.append(a1 + embs1[-1])
+                return None, (sum(embs0[1:], embs0[0])[:num_users],
+                              sum(embs1[1:], embs1[0])[:num_items])
+
+            _, (user_vec, item_vec) = jax.lax.scan(
+                scan_body(one_interval_pl), None,
+                (params["reg"]["u_embed"], params["reg"]["i_embed"],
+                 ring["u_plan"], ring["i_plan"]))
+            return user_vec, item_vec
+
+        if ring_weighted:
+            assert "u_weights" in ring, (
+                "edge_norm set but graphs['ring'] carries no bucketed "
+                "weights (build_interval_ring_partitions(weights=...))")
 
         def hop(x, src_l, tgt_l, rows, w):
             agg = ring_spmm_arrays(mesh, x, src_l, tgt_l, rows,
@@ -285,6 +329,51 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
             (params["reg"]["u_embed"], params["reg"]["i_embed"],
              graphs["plans"]["u"], graphs["plans"]["i"], u_tgt, u_src,
              emask))
+        return user_vec, item_vec
+
+    if use_pallas and cfg.spmm_src_shard_rows > 0:
+        # SOURCE-SHARDED path for huge node tables (ops.spmm_pallas:
+        # XLA's gather emitter drops ~4.2x once the source operand passes
+        # ~32 MB; per-shard dynamic-slice gathers stay on the fast path).
+        # Trainer resolves spmm_src_shard_rows (auto) and attaches
+        # graphs["plans_ss"] (build_stacked_plans_src_sharded).
+        assert not weighted and not cfg.edge_attention, (
+            "spmm_src_shard_rows > 0 supports only unweighted parity "
+            "propagation (no edge_norm/edge_dropout/edge_attention)")
+        assert "plans_ss" in graphs, (
+            "src-sharded pallas backend needs graphs['plans_ss']")
+        from sagnn_tpu.ops.spmm_pallas import R as _R, spmm_src_sharded
+        nb_u = -(-num_users // _R)
+        nb_i = -(-num_items // _R)
+        sr = cfg.spmm_src_shard_rows
+        keys = ("src", "tgt_local", "chunk_block", "chunk_first",
+                "shard_idx")
+
+        def hop(x, fwd, bwd, fnb, fnt, bnb, bnt, nsrc):
+            agg = spmm_src_sharded(x, fwd, bwd, fnb, fnt, sr, bnb, bnt, sr,
+                                   nsrc, cfg.spmm_exact)
+            return jnp.maximum(leaky * agg, agg)
+
+        def one_interval(_, inp):
+            u0, i0, pu, pi = inp
+            fu = tuple(pu[k] for k in keys)
+            fi = tuple(pi[k] for k in keys)
+            embs0, embs1 = [u0], [i0]
+            for _l in range(cfg.gnn_layer):
+                # the transpose direction's sharded plan IS the backward
+                # (bwd shards partition the forward's target space)
+                a0 = hop(embs1[-1], fu, fi, nb_u, num_users, nb_i,
+                         num_items, num_items)
+                a1 = hop(embs0[-1], fi, fu, nb_i, num_items, nb_u,
+                         num_users, num_users)
+                embs0.append(a0 + embs0[-1])
+                embs1.append(a1 + embs1[-1])
+            return None, (sum(embs0[1:], embs0[0]), sum(embs1[1:], embs1[0]))
+
+        _, (user_vec, item_vec) = jax.lax.scan(
+            scan_body(one_interval), None,
+            (params["reg"]["u_embed"], params["reg"]["i_embed"],
+             graphs["plans_ss"]["u"], graphs["plans_ss"]["i"]))
         return user_vec, item_vec
 
     if use_pallas:
@@ -394,6 +483,13 @@ def _temporal_fusion(params: Dict, user_vec: jnp.ndarray,
     — master weights stay f32, grads flow through the cast; the MXU-heavy
     [N, g, D] streams halve their bandwidth). Parity (Q5 raw-exp attention)
     requires f32, so bf16 forces the stable-softmax attention variant.
+
+    fusion_chunk_rows > 0 streams the node axis in blocks of that many rows
+    (lax.map): the whole stack is ROW-PARALLEL per node, so only one
+    block's LSTM/attention temporaries are live at a time — at 1M nodes
+    this turns several GB of [N, g, D] intermediates into tens of MB.
+    The dropout key folds in the block index, so the chunked mask pattern
+    differs from the unchunked one (keep_rate=1 paths are bit-identical).
     """
     free = params["free"]
     bf16 = cfg.fusion_dtype == "bf16"
@@ -403,30 +499,65 @@ def _temporal_fusion(params: Dict, user_vec: jnp.ndarray,
         return jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16), t) if bf16 else t
 
-    user_t = cast(jnp.transpose(user_vec, (1, 0, 2)))  # [U, g, D]
-    item_t = cast(jnp.transpose(item_vec, (1, 0, 2)))  # [I, g, D]
-
     if train and rng is not None and cfg.keep_rate < 1.0:
         ku, ki = jax.random.split(rng)
     else:
         ku = ki = None
     lstm_p = cast(free["lstm"])
-    user_t = lstm_scan(lstm_p, user_t, keep_rate=cfg.keep_rate,
-                       dropout_key=ku)
-    item_t = lstm_scan(lstm_p, item_t, keep_rate=cfg.keep_rate,
-                       dropout_key=ki)
 
-    ln_u, ln_i = cast(free["ln_user"]), cast(free["ln_item"])
-    mu = multi_head_self_attention(
-        cast(free["mhsa_user"]),
-        layer_norm(user_t, ln_u["scale"], ln_u["shift"]),
-        cfg.num_heads, stable=stable)
-    mi = multi_head_self_attention(
-        cast(free["mhsa_item"]),
-        layer_norm(item_t, ln_i["scale"], ln_i["shift"]),
-        cfg.num_heads, stable=stable)
-    return (jnp.mean(mu, axis=1).astype(jnp.float32),
-            jnp.mean(mi, axis=1).astype(jnp.float32))
+    def stream(x_t, mhsa_p, ln_p, key):
+        """Per-node-block fusion body: x_t [n, g, D] -> [n, D]."""
+        x_t = lstm_scan(lstm_p, x_t, keep_rate=cfg.keep_rate,
+                        dropout_key=key)
+        m = multi_head_self_attention(
+            mhsa_p, layer_norm(x_t, ln_p["scale"], ln_p["shift"]),
+            cfg.num_heads, stable=stable)
+        return jnp.mean(m, axis=1).astype(jnp.float32)
+
+    def fuse(vec, mhsa_p, ln_p, key):
+        rows = cfg.fusion_chunk_rows
+        n = vec.shape[1]
+        if rows <= 0 or n <= rows:
+            x_t = cast(jnp.transpose(vec, (1, 0, 2)))  # [N, g, D]
+            return stream(x_t, mhsa_p, ln_p, key)
+        # slice node blocks straight from the [g, N, D] scan output —
+        # transposing/padding the FULL table first materializes it in a
+        # lane-padded layout (measured 2.7x expansion at [1M, 3, 64]).
+        # jax.checkpoint sits INSIDE each block (incl. the slice), so the
+        # map's backward keeps only the scan-invariant `vec` + a block
+        # index per iteration and recomputes within-block intermediates —
+        # an OUTER checkpoint would stack per-block LSTM residuals
+        # [nb, rows, g, D] x gates, re-creating the unchunked footprint.
+        nb = n // rows
+
+        def body(vec_, mhsa_, ln_, key_, i):
+            xb = jax.lax.dynamic_slice_in_dim(vec_, i * rows, rows, axis=1)
+            kb = None if key_ is None else jax.random.fold_in(key_, i)
+            return stream(cast(jnp.transpose(xb, (1, 0, 2))), mhsa_,
+                          ln_, kb)
+
+        body_ck = jax.checkpoint(body)
+        parts = []
+        if nb:
+            out = jax.lax.map(
+                lambda i: body_ck(vec, mhsa_p, ln_p, key, i),
+                jnp.arange(nb))                        # [nb, rows, D]
+            parts.append(out.reshape(nb * rows, -1))
+        if n - nb * rows:                              # remainder block
+
+            def rem(vec_, mhsa_, ln_, key_):
+                xb = vec_[:, nb * rows:]
+                kb = None if key_ is None \
+                    else jax.random.fold_in(key_, nb)
+                return stream(cast(jnp.transpose(xb, (1, 0, 2))), mhsa_,
+                              ln_, kb)
+
+            parts.append(jax.checkpoint(rem)(vec, mhsa_p, ln_p, key))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    mu = fuse(user_vec, cast(free["mhsa_user"]), cast(free["ln_user"]), ku)
+    mi = fuse(item_vec, cast(free["mhsa_item"]), cast(free["ln_item"]), ki)
+    return mu, mi
 
 
 def _sequence_branch(params: Dict, item_att_emb: jnp.ndarray,
@@ -519,17 +650,31 @@ def _user_weights(params: Dict, final_user: jnp.ndarray,
 
 def _ssl_loss(params: Dict, batch: TrainBatch, final_user: jnp.ndarray,
               final_item: jnp.ndarray, user_vec: jnp.ndarray,
-              item_vec: jnp.ndarray, user_weight: jnp.ndarray,
-              cfg: ModelConfig) -> jax.Array:
+              item_vec: jnp.ndarray, cfg: ModelConfig) -> jax.Array:
     """Personalized self-augmented loss (model.py:185-204).
 
     For each interval k and pair j: with (uA, iA) and (uB, iB) the two halves
     of the reference's interleaved layout,
-        S_final = w[uA]·sg(score_long(uA,iA)) − w[uB]·sg(score_long(uB,iB))
+        S_final = w(uA)·sg(score_long(uA,iA)) − w(uB)·sg(score_long(uB,iB))
         loss   += Σ max(0, 1 − S_final·(score_short_A − score_short_B))
-    where score(u,i) = Σ leakyRelu(u_emb ⊙ i_emb).
+    where score(u,i) = Σ leakyRelu(u_emb ⊙ i_emb) and w is the meta-net
+    weight (model.py:178-184).
+
+    The meta-net runs only on the SAMPLED pair users (gathered [g, Pssl]
+    rows) — the reference materializes it for the whole user table first
+    (model.py:180-184, a TF1-graph convenience), which at 1M users costs a
+    [g, U, 3D] concat (2.3 GB, plus its backward) for weights the loss
+    reads at a few thousand rows. Row-wise ops commute with the gather, so
+    the values are identical (pinned by the TF fixture).
     """
     leaky = cfg.leaky
+    reg, free = params["reg"], params["free"]
+
+    def meta_w(fu_rows, uv_rows):
+        m1 = jnp.concatenate([fu_rows * uv_rows, fu_rows, uv_rows], axis=-1)
+        m2 = leaky_relu(m1 @ reg["meta2_w"] + free["meta2_b"], leaky)
+        return jnp.squeeze(
+            jax.nn.sigmoid(m2 @ reg["meta3_w"] + free["meta3_b"]), -1)
 
     def score(ue, ie, u_idx, i_idx):
         pu = jnp.take(ue, u_idx, axis=0)
@@ -537,10 +682,14 @@ def _ssl_loss(params: Dict, batch: TrainBatch, final_user: jnp.ndarray,
         return jnp.sum(leaky_relu(pu * pi, leaky), axis=-1)
 
     def per_graph(inp):
-        uv_k, iv_k, w_k, ua, ia, ub, ib, m = inp
+        uv_k, iv_k, ua, ia, ub, ib, m = inp
         s_long_a = jax.lax.stop_gradient(score(final_user, final_item, ua, ia))
         s_long_b = jax.lax.stop_gradient(score(final_user, final_item, ub, ib))
-        s_final = jnp.take(w_k, ua) * s_long_a - jnp.take(w_k, ub) * s_long_b
+        w_a = meta_w(jnp.take(final_user, ua, axis=0),
+                     jnp.take(uv_k, ua, axis=0))
+        w_b = meta_w(jnp.take(final_user, ub, axis=0),
+                     jnp.take(uv_k, ub, axis=0))
+        s_final = w_a * s_long_a - w_b * s_long_b
         s_short_a = score(uv_k, iv_k, ua, ia)
         s_short_b = score(uv_k, iv_k, ub, ib)
         hinge = jnp.maximum(0.0, 1.0 - s_final * (s_short_a - s_short_b))
@@ -549,7 +698,7 @@ def _ssl_loss(params: Dict, batch: TrainBatch, final_user: jnp.ndarray,
     # vmap (not lax.map/scan): the per-graph work is small, so batching all
     # intervals into one set of gathers/matmuls beats serializing them
     losses = jax.vmap(per_graph)((
-        user_vec, item_vec, user_weight,
+        user_vec, item_vec,
         batch.ssl_u_a, batch.ssl_i_a, batch.ssl_u_b, batch.ssl_i_b,
         batch.ssl_mask))
     return jnp.sum(losses)
@@ -595,7 +744,18 @@ class SelfGNN:
         user_vec, item_vec = _interval_propagation(
             params, graphs, self.cfg, self.num_users, self.num_items,
             mesh=self.mesh, dropout_rng=drop_rng)
-        final_user, final_item = _temporal_fusion(
+        fusion = _temporal_fusion
+        if self.cfg.remat_propagation and self.cfg.fusion_chunk_rows <= 0:
+            # remat covers the fusion stack too: the LSTM/MHSA over every
+            # node stores O(g·N·D) gate/attention intermediates for the
+            # backward — at 1M nodes that is several GB better recomputed.
+            # (The chunked path embeds its own per-block checkpoints; an
+            # outer one there would stack per-block residuals instead.)
+            def fusion(p, uv, iv, c, t, r, _f=_temporal_fusion):
+                return jax.checkpoint(
+                    lambda p_, uv_, iv_, r_: _f(p_, uv_, iv_, c, t, r_)
+                )(p, uv, iv, r)
+        final_user, final_item = fusion(
             params, user_vec, item_vec, self.cfg, train, rng)
         return final_user, final_item, user_vec, item_vec
 
@@ -624,9 +784,8 @@ class SelfGNN:
         # reference: reduce_mean over the real pairs (model.py:244)
         pre_loss = jnp.sum(hinge) / jnp.maximum(1.0, jnp.sum(batch.pair_mask))
 
-        user_weight = _user_weights(params, final_user, user_vec, cfg)
         ssl = _ssl_loss(params, batch, final_user, final_item, user_vec,
-                        item_vec, user_weight, cfg)
+                        item_vec, cfg)
         aux = {"pos_pred": pos, "neg_pred": neg}
         return pre_loss, ssl, aux
 

@@ -262,7 +262,8 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                    chunk_block: jax.Array, chunk_first: jax.Array,
                    num_blocks: int, exact: bool = True,
                    zero_init: bool = False,
-                   weights: jax.Array | None = None) -> jax.Array:
+                   weights: jax.Array | None = None,
+                   vma: tuple | None = None) -> jax.Array:
     """messages: [NC*C, D] chunk-ordered; returns [(num_blocks+1)*R, D].
 
     zero_init=True aliases the output to a fresh zeros buffer so blocks this
@@ -271,6 +272,10 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
 
     weights: optional [NC*C] f32 per-edge weights in chunk order (weighted
     SpMM; pad slots must carry weight 0 or a pad tgt_local — both hold here).
+
+    vma: mesh axis names the output varies over — REQUIRED when calling
+    from inside shard_map (check_vma demands explicit pallas out vma; the
+    aliased zeros input is pcast to match).
     """
     nc = tgt_local.shape[0]
     cs = tgt_local.shape[-1]
@@ -294,7 +299,10 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
     aliases = {}
     if zero_init:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        inputs.append(jnp.zeros((out_rows, d), jnp.float32))
+        zeros = jnp.zeros((out_rows, d), jnp.float32)
+        if vma:
+            zeros = jax.lax.pcast(zeros, tuple(vma), to="varying")
+        inputs.append(zeros)
         # zeros input (after 2 prefetch + tensor inputs) aliases the output
         aliases = {len(inputs) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -310,7 +318,9 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
         grid_spec=grid_spec,
         # CPU (tests, CI meshes) runs the kernel in interpreter mode
         interpret=jax.default_backend() == "cpu",
-        out_shape=jax.ShapeDtypeStruct((out_rows, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_rows, d), jnp.float32,
+            **({"vma": frozenset(vma)} if vma else {})),
         input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * nc * cs * R * d,
@@ -513,18 +523,29 @@ def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
                            tgt_local: jax.Array, chunk_block: jax.Array,
                            chunk_first: jax.Array, num_blocks: int,
                            num_tgt: int, shard_rows: int,
-                           exact: bool = True) -> jax.Array:
+                           exact: bool = True,
+                           shard_idx: jax.Array | None = None) -> jax.Array:
     """out[t] = Σ_e x[src[e]] via per-source-shard fast-path gathers.
 
-    x: [num_src, D]; stacked [S, ...] arrays from plan_spmm_src_sharded.
-    One shard's messages are live at a time (doubles as out-of-core)."""
+    x: [num_src, D]; stacked [S', ...] arrays from plan_spmm_src_sharded.
+    One slice's messages are live at a time (doubles as out-of-core).
+
+    shard_idx: optional [S'] int32 source-shard id per slice row — lets a
+    shard's chunk stream be SUB-SLICED into several scan steps (any chunk
+    boundary is a correct split under zero_init accumulation), bounding the
+    live [slots, D] message buffer on huge graphs. Default: row i gathers
+    from shard i (one slice per shard)."""
     S = tgt_local.shape[0]
     d = x.shape[-1]
-    pad = S * shard_rows - x.shape[0]
+    n_shards = S if shard_idx is None \
+        else -(-x.shape[0] // shard_rows)
+    pad = n_shards * shard_rows - x.shape[0]
     if pad > 0:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     if not exact:
         x = x.astype(jnp.bfloat16)
+    if shard_idx is None:
+        shard_idx = jnp.arange(S, dtype=jnp.int32)
 
     def body(acc, sl):
         s_idx, s_src, tl, cb, cf = sl
@@ -537,8 +558,7 @@ def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
 
     acc0 = jnp.zeros(((num_blocks + 1) * R, d), jnp.float32)
     out, _ = jax.lax.scan(
-        body, acc0, (jnp.arange(S, dtype=jnp.int32), src, tgt_local,
-                     chunk_block, chunk_first))
+        body, acc0, (shard_idx, src, tgt_local, chunk_block, chunk_first))
     return out[:num_tgt]
 
 
@@ -546,6 +566,14 @@ def _sharded_args(p: dict):
     return ((jnp.asarray(p["src"]), jnp.asarray(p["tgt_local"]),
              jnp.asarray(p["chunk_block"]), jnp.asarray(p["chunk_first"])),
             int(p["num_blocks"]), int(p["num_tgt"]), int(p["shard_rows"]))
+
+
+def _ss_apply(x, arrays, nb, nt, sr, exact):
+    """arrays: (src, tgt_local, chunk_block, chunk_first[, shard_idx])."""
+    sidx = arrays[4] if len(arrays) == 5 else None
+    return spmm_apply_src_sharded(x, arrays[0], arrays[1], arrays[2],
+                                  arrays[3], nb, nt, sr, exact=exact,
+                                  shard_idx=sidx)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
@@ -556,23 +584,22 @@ def spmm_src_sharded(x: jax.Array, fwd_arrays: Tuple, bwd_arrays: Tuple,
     """Differentiable source-sharded A @ x; backward is the transpose
     direction's sharded plan (bwd shards partition the TARGET space of the
     forward). num_src: x's true row count (the bwd output is sliced to it).
+    Array tuples may carry a 5th shard_idx element (sub-sliced streams,
+    see spmm_apply_src_sharded).
     """
-    return spmm_apply_src_sharded(x, *fwd_arrays, fwd_nb, fwd_nt, fwd_sr,
-                                  exact=exact)
+    return _ss_apply(x, fwd_arrays, fwd_nb, fwd_nt, fwd_sr, exact)
 
 
 def _spmm_ss_fwd(x, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, fwd_sr,
                  bwd_nb, bwd_nt, bwd_sr, num_src, exact):
-    out = spmm_apply_src_sharded(x, *fwd_arrays, fwd_nb, fwd_nt, fwd_sr,
-                                 exact=exact)
+    out = _ss_apply(x, fwd_arrays, fwd_nb, fwd_nt, fwd_sr, exact)
     return out, (fwd_arrays, bwd_arrays)
 
 
 def _spmm_ss_bwd(fwd_nb, fwd_nt, fwd_sr, bwd_nb, bwd_nt, bwd_sr, num_src,
                  exact, res, g):
     fwd_arrays, bwd_arrays = res
-    dx = spmm_apply_src_sharded(g, *bwd_arrays, bwd_nb, bwd_nt, bwd_sr,
-                                exact=exact)
+    dx = _ss_apply(g, bwd_arrays, bwd_nb, bwd_nt, bwd_sr, exact)
     return dx[:num_src], _float0s(fwd_arrays), _float0s(bwd_arrays)
 
 
@@ -885,6 +912,122 @@ def build_stacked_plans(u_src, u_tgt, i_src, i_tgt, num_users: int,
         "u": stack(u_plans), "i": stack(i_plans),
         "num_blocks_u": u_plans[0].num_blocks,
         "num_blocks_i": i_plans[0].num_blocks,
+        "num_users": num_users, "num_items": num_items,
+    }
+
+
+def _repad_ss(p: dict, nc: int) -> dict:
+    """Pad a plan_spmm_src_sharded dict's per-shard chunk count to `nc`
+    with dump-block chunks (same convention as plan_spmm_repad; the sharded
+    consumer runs zero_init, so dump chunks are pure no-ops)."""
+    S, old = p["chunk_block"].shape
+    extra = nc - old
+    assert extra >= 0, (nc, old)
+    if extra == 0:
+        return p
+    cs = p["tgt_local"].shape[-1]
+    nb = p["num_blocks"]
+    out = dict(p)
+    out["src"] = np.concatenate(
+        [p["src"], np.zeros((S, extra * cs), np.int32)], axis=1)
+    out["tgt_local"] = np.concatenate(
+        [p["tgt_local"], np.full((S, extra, cs), R, np.int32)], axis=1)
+    out["chunk_block"] = np.concatenate(
+        [p["chunk_block"], np.full((S, extra), nb, np.int32)], axis=1)
+    out["chunk_first"] = np.concatenate(
+        [p["chunk_first"], np.ones((S, extra), np.int32)], axis=1)
+    return out
+
+
+# largest chunk-stream slice (slots) live at once in the src-sharded scan:
+# 2^20 gathered rows = 256 MB of f32 messages at D=64 — keeps the dominant
+# temp bounded regardless of graph size or shard imbalance
+MAX_SLICE_SLOTS = 2 ** 20
+
+
+def _subslice_stacked(d: dict, num_blocks: int, max_slots: int) -> dict:
+    """Split each source shard's chunk stream into K scan slices of at most
+    `max_slots` slots ([g, S, ...] -> [g, S*K, ...] + shard_idx). Any chunk
+    boundary is a correct split under zero_init accumulation (each slice
+    partial-sums into the carried accumulator)."""
+    g, S, nc = d["chunk_block"].shape
+    cs = d["tgt_local"].shape[-1]
+    K = max(1, -(-(nc * cs) // max_slots))
+    if K == 1:
+        d = dict(d)
+        d["shard_idx"] = np.tile(np.arange(S, dtype=np.int32), (g, 1))
+        return d
+    nc2 = -(-nc // K)
+    extra = K * nc2 - nc
+    src = d["src"].reshape(g, S, nc, cs)
+    src = np.concatenate(
+        [src, np.zeros((g, S, extra, cs), np.int32)], axis=2)
+    tl = np.concatenate(
+        [d["tgt_local"], np.full((g, S, extra, cs), R, np.int32)], axis=2)
+    cb = np.concatenate(
+        [d["chunk_block"], np.full((g, S, extra), num_blocks, np.int32)],
+        axis=2)
+    cf = np.concatenate(
+        [d["chunk_first"], np.ones((g, S, extra), np.int32)], axis=2)
+    return {
+        "src": src.reshape(g, S * K, nc2 * cs),
+        "tgt_local": tl.reshape(g, S * K, nc2, cs),
+        "chunk_block": cb.reshape(g, S * K, nc2),
+        "chunk_first": cf.reshape(g, S * K, nc2),
+        "shard_idx": np.tile(
+            np.repeat(np.arange(S, dtype=np.int32), K), (g, 1)),
+    }
+
+
+def build_stacked_plans_src_sharded(u_src, u_tgt, i_src, i_tgt,
+                                    num_users: int, num_items: int,
+                                    edge_counts, shard_rows: int,
+                                    chunk_size: int = 0,
+                                    max_slice_slots: int = MAX_SLICE_SLOTS
+                                    ) -> dict:
+    """Source-sharded plans for every interval, both directions, stacked
+    [g, S, ...] with a common shard + chunk count per direction — the
+    lax.scan-ready analog of build_stacked_plans for huge node tables
+    (beyond XLA's ~32 MB gather-operand cliff; see plan_spmm_src_sharded).
+
+    shard_rows applies to BOTH source tables (u-direction gathers from the
+    item table, i-direction from the user table); the per-direction shard
+    counts differ (S = ceil(num_src / shard_rows)) but one static row count
+    keeps the model's hop signature to a single config value.
+    """
+    g = u_src.shape[0]
+
+    def build(direction_src, direction_tgt, num_tgt, num_src):
+        cs = chunk_size
+        plans = []
+        for k in range(g):
+            p = plan_spmm_src_sharded(direction_src[k], direction_tgt[k],
+                                      num_tgt, num_src, shard_rows,
+                                      num_edges=int(edge_counts[k]),
+                                      chunk_size=cs)
+            # one chunk size per direction (interval 0's auto-choice),
+            # so the stacked arrays share a last-axis width
+            cs = p["tgt_local"].shape[-1]
+            plans.append(p)
+        nc = max(p["chunk_block"].shape[1] for p in plans)
+        plans = [_repad_ss(p, nc) for p in plans]
+        return {
+            "src": np.stack([p["src"] for p in plans]),
+            "tgt_local": np.stack([p["tgt_local"] for p in plans]),
+            "chunk_block": np.stack([p["chunk_block"] for p in plans]),
+            "chunk_first": np.stack([p["chunk_first"] for p in plans]),
+        }
+
+    nb_u = max(1, -(-num_users // R))
+    nb_i = max(1, -(-num_items // R))
+    return {
+        "u": _subslice_stacked(build(u_src, u_tgt, num_users, num_items),
+                               nb_u, max_slice_slots),
+        "i": _subslice_stacked(build(i_src, i_tgt, num_items, num_users),
+                               nb_i, max_slice_slots),
+        "num_blocks_u": nb_u,
+        "num_blocks_i": nb_i,
+        "shard_rows": shard_rows,
         "num_users": num_users, "num_items": num_items,
     }
 

@@ -129,6 +129,18 @@ class Trainer:
         assert bundle.graph_num == cfg.model.graph_num, (
             f"dataset has {bundle.graph_num} interval graphs, config says "
             f"{cfg.model.graph_num}")
+        if (cfg.model.spmm_backend == "pallas"
+                and cfg.model.spmm_src_shard_rows == 0):
+            # auto: enable source sharding when a node table crosses XLA's
+            # measured ~32 MB gather-operand cliff; shard size = the largest
+            # R-multiple row count that stays under it
+            import dataclasses
+            cliff_rows = max(128, (32 * 2 ** 20)
+                             // (4 * cfg.model.latdim) // 128 * 128)
+            big = max(bundle.num_users, bundle.num_items)
+            resolved = cliff_rows if big > cliff_rows else -1
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, spmm_src_shard_rows=resolved))
         self.cfg = cfg
         self.bundle = bundle
         if cfg.model.spmm_backend == "ring":
@@ -174,7 +186,25 @@ class Trainer:
             assert cfg.model.pos_length % P_ == 0, (
                 f"pos_length {cfg.model.pos_length} must divide the "
                 f"'model' axis ({P_})")
-        if cfg.model.spmm_backend == "pallas":
+        if (cfg.model.spmm_backend == "pallas"
+                and cfg.model.spmm_src_shard_rows > 0):
+            from sagnn_tpu.ops.spmm_pallas import (
+                build_stacked_plans_src_sharded)
+            assert not weighted and not edge_drop \
+                and not cfg.model.edge_attention, (
+                    "spmm_src_shard_rows > 0 supports only unweighted "
+                    "parity propagation")
+            gb = self.graph_blocks
+            ss = build_stacked_plans_src_sharded(
+                gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt, gb.num_users,
+                gb.num_items, gb.edge_counts,
+                shard_rows=cfg.model.spmm_src_shard_rows,
+                chunk_size=cfg.model.spmm_chunk_size)
+            self.graphs["plans_ss"] = {
+                "u": {k: jnp.asarray(v) for k, v in ss["u"].items()},
+                "i": {k: jnp.asarray(v) for k, v in ss["i"].items()},
+            }
+        elif cfg.model.spmm_backend == "pallas":
             from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
             gb = self.graph_blocks
             tracked = weighted or cfg.model.edge_attention or edge_drop
@@ -199,14 +229,27 @@ class Trainer:
         if cfg.model.spmm_backend == "ring":
             from sagnn_tpu.parallel.edge_partition import (
                 build_interval_ring_partitions)
+            # pallas kernel on the ring by default; the XLA-scatter ring
+            # stays for direction-dependent weights ('mean' — asymmetric,
+            # so the paired-plan VJP would transpose the wrong weights)
+            pallas_ring = cfg.model.edge_norm in (None, "sym_sqrt")
             ring = build_interval_ring_partitions(
                 self.graph_blocks, mesh.shape["model"],
-                weights=(ew_np if weighted else None))
-            keys = ["u_src_local", "u_tgt_local", "i_src_local",
-                    "i_tgt_local"]
-            if weighted:
-                keys += ["u_weights", "i_weights"]
-            self.graphs["ring"] = {k: jnp.asarray(ring[k]) for k in keys}
+                weights=(ew_np if weighted else None),
+                bucket_plans=pallas_ring)
+            if pallas_ring:
+                for d in ("u_plan", "i_plan"):
+                    ring[d].pop("num_blocks", None)
+                self.graphs["ring"] = {
+                    d: {k: jnp.asarray(v) for k, v in ring[d].items()}
+                    for d in ("u_plan", "i_plan")}
+            else:
+                keys = ["u_src_local", "u_tgt_local", "i_src_local",
+                        "i_tgt_local"]
+                if weighted:
+                    keys += ["u_weights", "i_weights"]
+                self.graphs["ring"] = {k: jnp.asarray(ring[k])
+                                       for k in keys}
         self.sampler = Sampler(
             bundle=bundle, batch=cfg.train.batch,
             samp_num=cfg.train.samp_num, ssl_num=cfg.train.ssl_num,
@@ -252,17 +295,19 @@ class Trainer:
 
     def _shard_graphs(self):
         from sagnn_tpu.parallel.sharding import graph_shardings
+        plan_keys = ("plans", "plans_ss")
         sh = graph_shardings(self._rules,
                              {k: v for k, v in self.graphs.items()
-                              if k != "plans"})
+                              if k not in plan_keys})
         out = {k: jax.device_put(v, sh[k]) for k, v in self.graphs.items()
-               if k != "plans"}
-        if "plans" in self.graphs:
-            # plans are replicated (chunk schedules are not shardable along
-            # the edge axis without replanning)
-            rep = self._rules.replicated
-            out["plans"] = jax.tree_util.tree_map(
-                lambda a: jax.device_put(a, rep), self.graphs["plans"])
+               if k not in plan_keys}
+        for pk in plan_keys:
+            if pk in self.graphs:
+                # plans are replicated (chunk schedules are not shardable
+                # along the edge axis without replanning)
+                rep = self._rules.replicated
+                out[pk] = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(a, rep), self.graphs[pk])
         return out
 
     def load_imported_params(self, params: Dict, mu: Optional[Dict] = None,
@@ -369,8 +414,20 @@ class Trainer:
         steps = int(np.ceil(len(ids) / cfg.train.batch))
         epoch_loss = epoch_pre = 0.0
 
+        # multi-PROCESS data parallelism: every process generates the same
+        # epoch permutation (identical sampler seed) but samples only the
+        # batch rows its devices own; per-host local arrays assemble into
+        # the global sharded batch without any cross-host transfer of
+        # sample data (SURVEY §2.2 DP: "per-host sampler shards")
+        multiproc = self.mesh is not None and jax.process_count() > 1
+        if multiproc:
+            from sagnn_tpu.parallel.launch import host_batch_slice
+            h_start, h_size = host_batch_slice(cfg.train.batch)
+
         def sample(i):
             bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
+            if multiproc:
+                return self._assemble_global_batch(bat, h_start, h_size)
             batch = self.sampler.train_batch(bat)
             if self.mesh is not None:
                 from sagnn_tpu.parallel.sharding import batch_shardings
@@ -418,6 +475,33 @@ class Trainer:
                 consume(steps - 1, pending)
                 self.step_timer.toc()
         return {"Loss": epoch_loss / steps, "preLoss": epoch_pre / steps}
+
+    def _assemble_global_batch(self, bat: np.ndarray, start: int,
+                               size: int) -> TrainBatch:
+        """Sample this process's slice of the global batch and lift the
+        local arrays into globally-sharded jax.Arrays
+        (make_array_from_process_local_data — no host gathers; the sampler's
+        per-user determinism contract makes the assembled batch identical
+        to a single-process run's)."""
+        from sagnn_tpu.parallel.sharding import batch_shardings
+
+        cfg = self.cfg
+        local = self.sampler.train_batch_slice(bat, start, size)
+        # useq_row is local to this host's seq rows; the jitted step gathers
+        # from the GLOBAL [B, L] seq array
+        local.useq_row = local.useq_row + np.int32(start)
+        sh = batch_shardings(self._rules, local)
+        B = cfg.train.batch
+        g, L = cfg.model.graph_num, cfg.model.pos_length
+        pairs = (B * self.sampler.samp_num,)
+        pssl = (g, B * self.sampler.ssl_num)
+        # flatten order = TrainBatch pytree registration order
+        shapes = [pairs] * 5 + [(B, L)] * 2 + [pssl] * 5
+        l_leaves, treedef = jax.tree_util.tree_flatten(local)
+        s_leaves = jax.tree_util.tree_leaves(sh)
+        out = [jax.make_array_from_process_local_data(s, loc, gs)
+               for loc, s, gs in zip(l_leaves, s_leaves, shapes)]
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def throughput_stats(self, window: int | None = None) -> Dict[str, float]:
         """Step-time and propagation edges/s observability (SURVEY.md §5).
@@ -468,6 +552,12 @@ class Trainer:
                     self.sampler.test_batch(
                         bat, test_mode=cfg.train.test_mode)
                 arrs = (user_ids, cand, seq, seq_mask, valid)
+            if self.mesh is not None and jax.process_count() > 1:
+                # identical eval arrays on every process (same sampler
+                # stream) -> replicate over the global mesh
+                rep = self._rules.replicated
+                return tuple(jax.device_put(np.asarray(a), rep)
+                             for a in arrs)
             return tuple(jnp.asarray(a) for a in arrs)
 
         # batch i+1 is sampled while batch i scores on device; per-batch
@@ -550,6 +640,11 @@ class Trainer:
                     f"restore")
             self.history.append("Train", tr)
             log(self.history.format_line("Train", ep, cfg.train.epoch, tr))
+            ts = self.throughput_stats()
+            if ts["edges_per_sec"] > 0:
+                log(f"  step {ts['step_ms_mean']:.1f} ms avg "
+                    f"(p95 {ts['step_ms_p95']:.1f}), propagation "
+                    f"{ts['edges_per_sec'] / 1e9:.4f} Gedges/s", save=False)
             if test:
                 te = self.test_epoch()
                 self.history.append("Test", {

@@ -479,3 +479,25 @@ def test_edge_dropout_trainer_smoke():
         for _ in range(3):
             last = tr.train_epoch(verbose=False)
         assert last["preLoss"] < first["preLoss"]
+
+
+def test_fusion_chunk_rows_matches_unchunked():
+    """fusion_chunk_rows streams the row-parallel fusion stack in node
+    blocks — bit-equal to the unchunked path at keep_rate=1."""
+    import dataclasses
+    bundle = synthetic_dataset(num_users=50, num_items=70, graph_num=3,
+                               seed=4)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=8)
+    graphs = graphs_to_device(gb)
+    base = ModelConfig(graph_num=3, gnn_layer=1, att_layer=1, latdim=16,
+                       num_heads=4, ssldim=8, pos_length=10, keep_rate=1.0)
+    chunked = dataclasses.replace(base, fusion_chunk_rows=16)
+    m0 = SelfGNN(base, 50, 70)
+    m1 = SelfGNN(chunked, 50, 70)
+    params = m0.init(jax.random.PRNGKey(2))
+    f0 = m0.encode(params, graphs, train=False)
+    f1 = m1.encode(params, graphs, train=False)
+    np.testing.assert_allclose(np.asarray(f0[0]), np.asarray(f1[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0[1]), np.asarray(f1[1]),
+                               rtol=1e-6, atol=1e-6)
