@@ -21,6 +21,7 @@ program.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -286,6 +287,207 @@ def ring_spmm_arrays(mesh: Mesh, x_sharded: jax.Array, src_local: jax.Array,
     return fn(x_sharded, src_local, tgt_local, weights)
 
 
+# ---------------------------------------------------------------------------
+# Pallas segment-sum on the ring: per-(target, source)-shard chunk plans
+# replace jax.ops.segment_sum in each bucket aggregation (the scatter path
+# measured 3.4x slower single-chip), so the distributed hop runs at
+# Pallas speed per shard while ppermute still hides the boundary exchange.
+# ---------------------------------------------------------------------------
+
+def build_ring_bucket_plans(parts: RingEdgePartitions,
+                            chunk_size: int = 0) -> dict:
+    """One Pallas SpmmPlan per (target_shard, source_shard) bucket, padded
+    to a common chunk count NC. Returns
+      {"src": [P, P, NC*C], "tgt_local": [P, P, NC, C],
+       "chunk_block"/"chunk_first": [P, P, NC],
+       "weights": [P, P, NC*C] f32 (only when parts.weights is set),
+       "num_blocks": ceil(rows_per_shard / R)}.
+    All-padding chunks are stripped per bucket (the ring consumer runs
+    zero_init accumulation, so unvisited blocks stay zero)."""
+    from sagnn_tpu.ops.spmm_pallas import R as _R, plan_spmm
+
+    P_ = parts.num_shards
+    rows = parts.rows_per_shard
+    num_blocks = max(1, -(-rows // _R))
+    weighted = parts.weights is not None
+    if chunk_size == 0:
+        # auto: executed cost per device ~ P * NC_max * (cs + overhead)
+        best, best_cost = 256, None
+        for cs in (256, 512, 1024):
+            nc_max = 1
+            for p in range(P_):
+                for q in range(P_):
+                    tgt = parts.tgt_local[p, q]
+                    ne = int(np.searchsorted(tgt, rows))
+                    if ne == 0:
+                        continue
+                    h = np.bincount(tgt[:ne] // _R, minlength=num_blocks)
+                    nc_max = max(nc_max, int(
+                        np.where(h > 0, -(-h // cs), 0).sum()))
+            cost = nc_max * (cs + 56.0)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = cs, cost
+        chunk_size = best
+
+    plans = []
+    for p in range(P_):
+        row_plans = []
+        for q in range(P_):
+            src = parts.src_local[p, q]
+            tgt = parts.tgt_local[p, q]
+            ne = int(np.searchsorted(tgt, rows))
+            pl = plan_spmm(src, tgt, rows, num_edges=ne,
+                           chunk_size=chunk_size, track_edges=weighted)
+            cs = pl.tgt_local.shape[-1]
+            w_chunk = None
+            if weighted:
+                # bucket weights -> chunk order via the plan's slot map
+                w_in = np.concatenate(
+                    [parts.weights[p, q].astype(np.float32),
+                     np.zeros(1, np.float32)])
+                slot = np.minimum(pl.edge_slot, len(w_in) - 1)
+                w_chunk = w_in[slot].reshape(-1, cs)
+            # strip all-padding chunks (zero_init keeps their blocks zero)
+            keep = (pl.tgt_local < _R).any(axis=1)
+            row_plans.append((
+                pl.src.reshape(-1, cs)[keep],
+                pl.tgt_local[keep],
+                pl.chunk_block[keep],
+                pl.chunk_first[keep],
+                None if w_chunk is None else w_chunk[keep],
+            ))
+        plans.append(row_plans)
+
+    nc = max(max(max(1, p_[2].shape[0]) for p_ in row) for row in plans)
+    cs = chunk_size
+    src_o = np.zeros((P_, P_, nc * cs), np.int32)
+    tl_o = np.full((P_, P_, nc, cs), _R, np.int32)
+    cb_o = np.full((P_, P_, nc), num_blocks, np.int32)
+    cf_o = np.ones((P_, P_, nc), np.int32)
+    w_o = np.zeros((P_, P_, nc * cs), np.float32) if weighted else None
+    for p in range(P_):
+        for q in range(P_):
+            s, tl, cb, cf, w = plans[p][q]
+            n = cb.shape[0]
+            src_o[p, q, : n * cs] = s.reshape(-1)
+            tl_o[p, q, :n] = tl
+            cb_o[p, q, :n] = cb
+            cf_o[p, q, :n] = cf
+            if weighted:
+                w_o[p, q, : n * cs] = w.reshape(-1)
+    out = {"src": src_o, "tgt_local": tl_o, "chunk_block": cb_o,
+           "chunk_first": cf_o, "num_blocks": num_blocks}
+    if weighted:
+        out["weights"] = w_o
+    return out
+
+
+def ring_spmm_pallas_arrays(mesh: Mesh, x_sharded: jax.Array,
+                            plan_src: jax.Array, plan_tl: jax.Array,
+                            plan_cb: jax.Array, plan_cf: jax.Array,
+                            rows: int, num_blocks: int,
+                            axis: str = "model",
+                            plan_w: jax.Array | None = None) -> jax.Array:
+    """Ring hop with the bucket aggregation on the Pallas segment-sum
+    kernel (one-hot matmul, zero_init partial sums) instead of
+    jax.ops.segment_sum. Semantics and layout identical to
+    ring_spmm_arrays; plan arrays come from build_ring_bucket_plans
+    ([P, P, ...], target-shard-major). Differentiable through
+    shard_map/scan AD like the XLA variant (the kernel itself is linear in
+    the messages; AD flows through jnp.take + the pallas_call's transpose
+    is never needed because the ring is re-derived per direction by the
+    caller's paired plans)."""
+    from sagnn_tpu.ops.spmm_pallas import R as _R, _segsum_pallas
+
+    P_ = plan_cb.shape[0]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+    weighted = plan_w is not None
+    out_rows = (num_blocks + 1) * _R
+
+    def local_fn(x_shard, src_p, tl_p, cb_p, cf_p, w_p):
+        p = jax.lax.axis_index(axis)
+
+        def bucket_sum(block, acc, s):
+            q = jax.lax.rem(p - s + P_, P_)
+            idx = functools.partial(jax.lax.dynamic_index_in_dim,
+                                    index=q, axis=0, keepdims=False)
+            sb, tlb = idx(src_p[0]), idx(tl_p[0])
+            cbb, cfb = idx(cb_p[0]), idx(cf_p[0])
+            msgs = jnp.take(block, sb, axis=0)
+            partial = _segsum_pallas(
+                msgs, tlb, cbb, cfb, num_blocks, exact=True,
+                zero_init=True,
+                weights=None if not weighted else idx(w_p[0]))
+            return acc + partial
+
+        def body(carry, s):
+            block, acc = carry
+            # send early: the transfer rides ICI while we aggregate locally
+            nxt = jax.lax.ppermute(block, axis, perm)
+            return (nxt, bucket_sum(block, acc, s)), None
+
+        acc0 = jnp.zeros((out_rows, x_shard.shape[-1]), jnp.float32)
+        (block, acc), _ = jax.lax.scan(body, (x_shard, acc0),
+                                       jnp.arange(P_ - 1, dtype=jnp.int32))
+        acc = bucket_sum(block, acc, jnp.int32(P_ - 1))
+        return acc[:rows].astype(x_shard.dtype)
+
+    if not weighted:
+        plan_w = jnp.zeros((P_, P_, 0), jnp.float32)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P_spec(axis),) * 6,
+        out_specs=P_spec(axis),
+        # pallas_call (both interpret and Mosaic lowering) predates the vma
+        # type system — the kernel's internal dynamic_slices mix varying
+        # and unvarying operands, so typing is disabled for this one
+        # shard_map (the XLA ring keeps it on); check_rep is the
+        # experimental wrapper's name for check_vma
+        check_rep=False,
+    )
+    return fn(x_sharded, plan_src, plan_tl, plan_cb, plan_cf, plan_w)
+
+
+def _ring_apply(mesh, x, arrays, rows, nb, axis):
+    """arrays: (src, tl, cb, cf) or (src, tl, cb, cf, weights)."""
+    w = arrays[4] if len(arrays) == 5 else None
+    return ring_spmm_pallas_arrays(mesh, x, arrays[0], arrays[1], arrays[2],
+                                   arrays[3], rows, nb, axis, plan_w=w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8))
+def ring_spmm_pallas(mesh, x: jax.Array, fwd_arrays: Tuple,
+                     bwd_arrays: Tuple, rows_f: int, nb_f: int,
+                     rows_b: int, nb_b: int, axis: str) -> jax.Array:
+    """Differentiable Pallas-kernel ring hop over a fixed sparse A.
+
+    The pallas_call is not auto-differentiable, so — exactly like
+    ops.spmm_pallas.spmm — the backward is the TRANSPOSE direction's ring
+    plan (bwd_arrays), whose target shards partition the forward's source
+    space. For weighted plans both tuples carry chunk-ordered weights;
+    the pairing is exact only for SYMMETRIC per-edge weights (unweighted
+    or sym_sqrt — each direction's plan then buckets the same values), so
+    direction-dependent norms ('mean') must use the XLA ring instead.
+    """
+    return _ring_apply(mesh, x, fwd_arrays, rows_f, nb_f, axis)
+
+
+def _ring_pl_fwd(mesh, x, fwd_arrays, bwd_arrays, rows_f, nb_f, rows_b,
+                 nb_b, axis):
+    out = _ring_apply(mesh, x, fwd_arrays, rows_f, nb_f, axis)
+    return out, (fwd_arrays, bwd_arrays)
+
+
+def _ring_pl_bwd(mesh, rows_f, nb_f, rows_b, nb_b, axis, res, g):
+    fwd_arrays, bwd_arrays = res
+    from sagnn_tpu.ops.spmm_pallas import _float0s
+    dx = _ring_apply(mesh, g, bwd_arrays, rows_b, nb_b, axis)
+    return dx, _float0s(fwd_arrays), _float0s(bwd_arrays)
+
+
+ring_spmm_pallas.defvjp(_ring_pl_fwd, _ring_pl_bwd)
+
+
 def ring_edge_partitioned_spmm(mesh: Mesh, x_sharded: jax.Array,
                                parts: RingEdgePartitions,
                                axis: str = "model") -> jax.Array:
@@ -309,9 +511,58 @@ def ring_edge_partitioned_propagate(mesh: Mesh, x: jax.Array,
     return jnp.maximum(leaky * out, out)
 
 
+def stack_ring_bucket_plans(parts_list, chunk_size: int = 0) -> dict:
+    """build_ring_bucket_plans per interval, padded to a common chunk count
+    and stacked [g, P, P, ...] (lax.scan-ready). Interval 0's auto chunk
+    size is reused for the rest so the stacked arrays share widths."""
+    from sagnn_tpu.ops.spmm_pallas import R as _R
+    cs = chunk_size
+    plans = []
+    for p in parts_list:
+        pl = build_ring_bucket_plans(p, chunk_size=cs)
+        cs = pl["tgt_local"].shape[-1]
+        plans.append(pl)
+    nc = max(pl["chunk_block"].shape[-1] for pl in plans)
+    nb = plans[0]["num_blocks"]
+    weighted = "weights" in plans[0]
+
+    def pad(pl):
+        old = pl["chunk_block"].shape[-1]
+        extra = nc - old
+        if extra == 0:
+            return pl
+        P_ = pl["chunk_block"].shape[0]
+        out = dict(pl)
+        out["src"] = np.concatenate(
+            [pl["src"], np.zeros((P_, P_, extra * cs), np.int32)], axis=-1)
+        out["tgt_local"] = np.concatenate(
+            [pl["tgt_local"],
+             np.full((P_, P_, extra, cs), _R, np.int32)], axis=2)
+        out["chunk_block"] = np.concatenate(
+            [pl["chunk_block"], np.full((P_, P_, extra), nb, np.int32)],
+            axis=-1)
+        out["chunk_first"] = np.concatenate(
+            [pl["chunk_first"], np.ones((P_, P_, extra), np.int32)],
+            axis=-1)
+        if weighted:
+            out["weights"] = np.concatenate(
+                [pl["weights"], np.zeros((P_, P_, extra * cs), np.float32)],
+                axis=-1)
+        return out
+
+    plans = [pad(pl) for pl in plans]
+    keys = ["src", "tgt_local", "chunk_block", "chunk_first"]
+    if weighted:
+        keys.append("weights")
+    out = {k: np.stack([pl[k] for pl in plans]) for k in keys}
+    out["num_blocks"] = nb
+    return out
+
+
 def build_interval_ring_partitions(gb, num_shards: int,
                                    pad_multiple: int = 128,
-                                   weights: np.ndarray | None = None) -> dict:
+                                   weights: np.ndarray | None = None,
+                                   bucket_plans: bool = False) -> dict:
     """Ring partitions for every interval graph, both directions, stacked
     [g, P, P, B] with a common bucket size per direction (lax.scan-ready).
 
@@ -324,6 +575,11 @@ def build_interval_ring_partitions(gb, num_shards: int,
        of the opposite direction — both use round_up(ceil(N/P), 8), so one
        hop's output layout IS the next hop's input layout),
        "num_users"/"num_items": true node counts}
+
+    bucket_plans=True additionally emits "u_plan"/"i_plan": stacked Pallas
+    segment-sum schedules ([g, P, P, ...], stack_ring_bucket_plans) for the
+    kernel ring hop (ring_spmm_pallas) — valid for unweighted or SYMMETRIC
+    weights only (see ring_spmm_pallas).
     """
     g = gb.graph_num
     U, I = gb.num_users, gb.num_items
@@ -364,4 +620,7 @@ def build_interval_ring_partitions(gb, num_shards: int,
     if weights is not None:
         out["u_weights"] = u_w
         out["i_weights"] = i_w
+    if bucket_plans:
+        out["u_plan"] = stack_ring_bucket_plans(pu)
+        out["i_plan"] = stack_ring_bucket_plans(pi)
     return out

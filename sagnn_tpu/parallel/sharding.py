@@ -62,12 +62,19 @@ def graph_shardings(rules: ShardingRules, graphs: Dict) -> Dict:
     TARGET-shard axis (1) must align with the ring's mesh axis."""
     s = rules.named(None, rules.model_axis)
     s3 = rules.named(None, None, rules.model_axis)
-    s_ring = rules.named(None, rules.model_axis, None, None)
     out = {}
     for k in graphs:
-        out[k] = (s_ring if k == "ring"
-                  else s3 if k in ("edge_weights", "edge_weights_canon")
-                  else s)
+        if k == "ring":
+            # per-leaf: ring buckets are [g, P, ...] and the pallas plan
+            # arrays are [g, P, P, NC(, C)] — axis 1 is always the
+            # target-shard axis riding 'model'
+            out[k] = jax.tree_util.tree_map(
+                lambda a: rules.named(
+                    *((None, rules.model_axis) + (None,) * (a.ndim - 2))),
+                graphs[k])
+        else:
+            out[k] = (s3 if k in ("edge_weights", "edge_weights_canon")
+                      else s)
     return out
 
 

@@ -51,9 +51,9 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from sagnn_tpu.parallel.edge_partition import (
-        edge_partitioned_spmm, pad_node_table, pad_node_table_rows,
-        partition_edges_by_target, partition_edges_ring,
-        ring_edge_partitioned_spmm,
+        build_ring_bucket_plans, edge_partitioned_spmm, pad_node_table,
+        pad_node_table_rows, partition_edges_by_target, partition_edges_ring,
+        ring_edge_partitioned_spmm, ring_spmm_pallas_arrays,
     )
     from sagnn_tpu.parallel.mesh import make_mesh
 
@@ -74,7 +74,7 @@ def main():
 
     results = {}
     shard_counts = [p for p in (1, 2, 4, 8) if p <= ndev]
-    for variant in ("allgather", "ring"):
+    for variant in ("allgather", "ring", "ring_pallas"):
         per = {}
         for p in shard_counts:
             mesh = make_mesh(data=1, model=p,
@@ -85,12 +85,26 @@ def main():
                 x = jax.device_put(jnp.asarray(pad_node_table(X, p)), sh)
                 fn = jax.jit(lambda xx, m=mesh, pp=parts:
                              edge_partitioned_spmm(m, xx, pp).sum())
-            else:
+            elif variant == "ring":
                 parts = partition_edges_ring(src, tgt, I, U, p)
                 x = jax.device_put(jnp.asarray(pad_node_table_rows(
                     X, p, parts.src_rows_per_shard)), sh)
                 fn = jax.jit(lambda xx, m=mesh, pp=parts:
                              ring_edge_partitioned_spmm(m, xx, pp).sum())
+            else:
+                # pallas segment-sum per bucket (the model's default ring)
+                parts = partition_edges_ring(src, tgt, I, U, p)
+                plan = build_ring_bucket_plans(parts)
+                nb = plan.pop("num_blocks")
+                pa = tuple(jnp.asarray(plan[k]) for k in
+                           ("src", "tgt_local", "chunk_block",
+                            "chunk_first"))
+                rows = parts.rows_per_shard
+                x = jax.device_put(jnp.asarray(pad_node_table_rows(
+                    X, p, parts.src_rows_per_shard)), sh)
+                fn = jax.jit(lambda xx, m=mesh, a=pa, r=rows, n=nb:
+                             ring_spmm_pallas_arrays(
+                                 m, xx, *a, r, n).sum())
             with mesh:
                 dt = timeit(fn, x)
             per[p] = E / dt
