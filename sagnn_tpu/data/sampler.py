@@ -136,28 +136,71 @@ class Sampler:
         """np.random.permutation(num_users)[:trnNum] (model.py:343)."""
         return self.rng.permutation(self.bundle.num_users)[:trn_num]
 
-    def train_batch(self, bat_ids: np.ndarray) -> TrainBatch:
-        if self._native is not None:
-            return self._train_batch_native(bat_ids)
-        return self._train_batch_numpy(bat_ids)
+    def train_batch(self, bat_ids: np.ndarray,
+                    batch_cap: int | None = None,
+                    ssl_ids: np.ndarray | None = None) -> TrainBatch:
+        """One train batch for `bat_ids`.
 
-    def _train_batch_native(self, bat_ids: np.ndarray) -> TrainBatch:
+        Determinism contract (multi-process DP): per-user draws are seeded
+        by mix(batch_seed, user_id) and land in fixed per-user slot ranges,
+        so sampling a SLICE of a batch yields exactly the rows a full-batch
+        call would — each host samples only its own batch rows
+        (`train_batch_slice`) and the assembled global batch is identical
+        to a single-host run. batch_cap sizes the output arrays (defaults
+        to self.batch); ssl_ids overrides the id set for the SSL half
+        (whose half-split pairing is GLOBAL across the batch — see
+        train_batch_slice).
+        """
+        batch_seed = int(self.rng.integers(0, 2 ** 63))
+        ssl = self.ssl_batch(bat_ids if ssl_ids is None else ssl_ids)
+        if self._native is not None:
+            return self._train_batch_native(bat_ids, batch_seed,
+                                            batch_cap or self.batch, ssl)
+        return self._train_batch_numpy(bat_ids, batch_seed,
+                                       batch_cap or self.batch, ssl)
+
+    def train_batch_slice(self, bat_ids: np.ndarray, start: int,
+                          size: int) -> TrainBatch:
+        """This host's slice of the global batch `bat_ids` (rows
+        [start, start+size)): train arrays are sampled only for the local
+        users (identical to the corresponding full-batch rows, per the
+        determinism contract); the SSL pair arrays are sampled for the FULL
+        batch (their reference half-split pairing crosses users, so the
+        layout is global — the sampling itself is cheap, two CSR draws per
+        user) and sliced to this host's pair columns. useq_row stays local
+        (0-based); the caller offsets it by `start` when assembling the
+        global batch."""
+        local = self.train_batch(bat_ids[start:start + size],
+                                 batch_cap=size, ssl_ids=bat_ids)
+        s0, s1 = start * self.ssl_num, (start + size) * self.ssl_num
+        return TrainBatch(
+            uids=local.uids, pos_iids=local.pos_iids,
+            neg_iids=local.neg_iids, useq_row=local.useq_row,
+            pair_mask=local.pair_mask, seq=local.seq,
+            seq_mask=local.seq_mask,
+            ssl_u_a=local.ssl_u_a[:, s0:s1],
+            ssl_i_a=local.ssl_i_a[:, s0:s1],
+            ssl_u_b=local.ssl_u_b[:, s0:s1],
+            ssl_i_b=local.ssl_i_b[:, s0:s1],
+            ssl_mask=local.ssl_mask[:, s0:s1])
+
+    def _train_batch_native(self, bat_ids: np.ndarray, seed: int,
+                            batch_cap: int, ssl: dict) -> TrainBatch:
         from sagnn_tpu.data import native_sampler as ns
         lib, state = self._native
-        seed = int(self.rng.integers(0, 2 ** 63))
         uids, pos_iids, neg_iids, useq_row, pair_mask, seq, mask = \
-            ns.native_train_batch(lib, state, bat_ids, self.batch,
+            ns.native_train_batch(lib, state, bat_ids, batch_cap,
                                   self.samp_num, self.pred_num,
                                   self.pos_length, self.bundle.num_items,
                                   seed)
-        ssl = self.ssl_batch(bat_ids)
         return TrainBatch(uids=uids, pos_iids=pos_iids, neg_iids=neg_iids,
                           useq_row=useq_row, pair_mask=pair_mask, seq=seq,
                           seq_mask=mask, **ssl)
 
-    def _train_batch_numpy(self, bat_ids: np.ndarray) -> TrainBatch:
+    def _train_batch_numpy(self, bat_ids: np.ndarray, seed: int,
+                           batch_cap: int, ssl: dict) -> TrainBatch:
         b = self.bundle
-        B, P = self.batch, self.batch * self.samp_num
+        B, P = batch_cap, batch_cap * self.samp_num
         uids = np.zeros(P, dtype=np.int32)
         pos_iids = np.zeros(P, dtype=np.int32)
         neg_iids = np.zeros(P, dtype=np.int32)
@@ -167,17 +210,19 @@ class Sampler:
         seq_mask = np.zeros((B, self.pos_length), dtype=np.float32)
 
         label_rows = self._trn_csr[bat_ids].toarray()
-        cur = 0
         for i, u in enumerate(bat_ids):
+            # per-user RNG + fixed slots (determinism contract, train_batch)
+            rng_u = np.random.default_rng((seed, int(u)))
             full_seq = b.sequences[u]
             posset = full_seq[:-1]
             samp = min(self.samp_num, len(posset))
             choose = 1
             if samp > 0:
+                cur = i * self.samp_num
                 hi = max(min(self.pred_num + 1, len(posset) - 3), 1)
-                choose = int(self.rng.integers(1, hi + 1))  # randint incl.
+                choose = int(rng_u.integers(1, hi + 1))  # randint incl.
                 pos = posset[-choose]
-                negs = neg_sample(self.rng, label_rows[i], samp,
+                negs = neg_sample(rng_u, label_rows[i], samp,
                                   b.num_items,
                                   (full_seq[-1], b.tst_int[u]))
                 uids[cur:cur + samp] = u
@@ -185,10 +230,8 @@ class Sampler:
                 pos_iids[cur:cur + samp] = pos
                 neg_iids[cur:cur + samp] = negs
                 pair_mask[cur:cur + samp] = 1.0
-                cur += samp
             seq[i], seq_mask[i] = _fill_sequence(posset[:-choose] if choose
                                                  else posset, self.pos_length)
-        ssl = self.ssl_batch(bat_ids)
         return TrainBatch(uids=uids, pos_iids=pos_iids, neg_iids=neg_iids,
                           useq_row=useq_row, pair_mask=pair_mask, seq=seq,
                           seq_mask=seq_mask, **ssl)

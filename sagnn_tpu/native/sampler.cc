@@ -90,6 +90,14 @@ extern "C" {
 
 // Train batch. Arrays sized as noted; P = batch_cap * samp_num.
 // Returns number of real pairs written.
+//
+// Determinism contract (multi-process data parallelism): user i's draws
+// come from an RNG seeded by mix(seed, user_id) and land in the FIXED slot
+// range [i*samp_num, (i+1)*samp_num), so sampling any SLICE of a batch
+// with the same seed yields exactly the rows the full-batch call would —
+// each host samples only the batch rows its devices own
+// (parallel.launch.host_batch_slice) and the assembled global batch is
+// bit-identical to a single-host run.
 int64_t sample_train_batch(
     uint64_t seed,
     const int32_t* bat_ids, int64_t batch,        // user ids, count
@@ -103,7 +111,6 @@ int64_t sample_train_batch(
     // outputs
     int32_t* uids, int32_t* pos_iids, int32_t* neg_iids, int32_t* useq_row,
     float* pair_mask, int32_t* seq, float* mask) {
-  Rng rng(seed);
   const int64_t P = batch_cap * (int64_t)samp_num;
   std::memset(uids, 0, sizeof(int32_t) * P);
   std::memset(pos_iids, 0, sizeof(int32_t) * P);
@@ -113,9 +120,12 @@ int64_t sample_train_batch(
   std::memset(seq, 0, sizeof(int32_t) * batch_cap * pos_length);
   std::memset(mask, 0, sizeof(float) * batch_cap * pos_length);
 
-  int64_t cur = 0;
+  int64_t total = 0;
   for (int64_t i = 0; i < batch; i++) {
     const int32_t u = bat_ids[i];
+    // per-user RNG + fixed slot range (see determinism contract above)
+    Rng rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(u + 1)));
+    int64_t cur = i * (int64_t)samp_num;
     const int64_t s0 = seq_offsets[u], s1 = seq_offsets[u + 1];
     const int64_t full_len = s1 - s0;
     const int64_t pos_len = full_len - 1;  // posset = sequence[:-1]
@@ -144,6 +154,7 @@ int64_t sample_train_batch(
         neg_iids[cur] = neg;
         pair_mask[cur] = 1.0f;
         cur++;
+        total++;
       }
     }
     // sequence row: posset[:-choose], right-aligned
@@ -151,7 +162,7 @@ int64_t sample_train_batch(
     fill_sequence(seq_items + s0, keep, pos_length, seq + i * pos_length,
                   mask + i * pos_length);
   }
-  return cur;
+  return total;
 }
 
 // SSL batch for one interval graph. Pssl = batch_cap * ssl_num.

@@ -27,6 +27,53 @@ sys.path.insert(0, ".")
 PORT = 45813
 
 
+def worker_train(args):
+    """One-epoch END-TO-END Trainer run across N processes: per-host
+    sampler shards (Trainer._assemble_global_batch) + GSPMD train step over
+    the global mesh. The sampler determinism contract makes the global
+    batch — and therefore the losses — identical to a single-process run
+    on the same mesh shape (asserted by tests/test_multihost.py)."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                               f"{args.local_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from sagnn_tpu.parallel.launch import initialize_distributed
+    initialize_distributed(coordinator_address=f"localhost:{PORT}",
+                           num_processes=args.procs,
+                           process_id=args.proc_id)
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.parallel.mesh import make_mesh
+    from sagnn_tpu.train.trainer import Trainer
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               test_size=10, seed=2)
+    cfg = Config(
+        model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                          num_heads=4, ssldim=8, pos_length=16,
+                          keep_rate=1.0),
+        train=TrainConfig(batch=16, samp_num=4, ssl_num=2, trn_num=32,
+                          test_size=10, lr=5e-3),
+    )
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    tr = Trainer(cfg, bundle, ckpt_root=f"/tmp/mh_models_{args.proc_id}",
+                 mesh=mesh)
+    t0 = time.perf_counter()
+    out = tr.train_epoch(verbose=False)
+    dt = time.perf_counter() - t0
+    mets = tr.test_epoch()
+    if args.proc_id == 0:
+        print(json.dumps({
+            "metric": "multihost_train_epoch",
+            "processes": args.procs,
+            "global_devices": jax.device_count(),
+            "Loss": out["Loss"], "preLoss": out["preLoss"],
+            "HR": mets["HR"], "NDCG": mets["NDCG"],
+            "epoch_seconds": round(dt, 2),
+        }), flush=True)
+
+
 def worker(args):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count="
@@ -94,18 +141,21 @@ def main():
     ap.add_argument("--items", type=int, default=80_000)
     ap.add_argument("--latdim", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", choices=["spmm", "train"], default="spmm",
+                    help="spmm: ring SpMM microbench; train: one-epoch "
+                         "end-to-end Trainer run with per-host sampling")
     ap.add_argument("--proc_id", type=int, default=-1,
                     help="internal: worker mode")
     args = ap.parse_args()
 
     if args.proc_id >= 0:
-        worker(args)
+        (worker_train if args.mode == "train" else worker)(args)
         return
 
     procs = []
     for i in range(args.procs):
         cmd = [sys.executable, os.path.abspath(__file__),
-               "--proc_id", str(i)]
+               "--proc_id", str(i), "--mode", args.mode]
         for k in ("procs", "local_devices", "edges", "users", "items",
                   "latdim", "iters"):
             cmd += [f"--{k}", str(getattr(args, k))]

@@ -28,3 +28,47 @@ def test_two_process_ring_spmm():
     res = json.loads(line)
     assert res["processes"] == 2
     assert res["checksum_ok"] is True
+
+
+@pytest.mark.timeout(300)
+def test_two_process_train_epoch_matches_single():
+    """END-TO-END 2-process training: per-host sampler shards + GSPMD step.
+    The sampler determinism contract makes the assembled global batches
+    identical to a single-process run on the same mesh shape, so the
+    epoch losses must match."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "bench_multihost.py"),
+         "--mode", "train", "--procs", "2", "--local_devices", "1"],
+        capture_output=True, timeout=280, cwd=ROOT, env=env)
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    line = [l for l in out.stdout.decode().splitlines()
+            if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["processes"] == 2
+
+    # single-process reference on an identical 2-device 'data' mesh
+    import jax
+    import numpy as np
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.parallel.mesh import make_mesh
+    from sagnn_tpu.train.trainer import Trainer
+
+    bundle = synthetic_dataset(num_users=48, num_items=64, graph_num=2,
+                               test_size=10, seed=2)
+    cfg = Config(
+        model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
+                          num_heads=4, ssldim=8, pos_length=16,
+                          keep_rate=1.0),
+        train=TrainConfig(batch=16, samp_num=4, ssl_num=2, trn_num=32,
+                          test_size=10, lr=5e-3),
+    )
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    tr = Trainer(cfg, bundle, ckpt_root="/tmp/mh_single_ref", mesh=mesh)
+    ref = tr.train_epoch(verbose=False)
+    mets = tr.test_epoch()
+    np.testing.assert_allclose(res["Loss"], ref["Loss"], rtol=1e-4)
+    np.testing.assert_allclose(res["preLoss"], ref["preLoss"], rtol=1e-4)
+    np.testing.assert_allclose(res["NDCG"], mets["NDCG"], rtol=1e-4)

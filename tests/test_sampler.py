@@ -119,3 +119,40 @@ def test_epoch_permutation(sampler, bundle):
     assert len(ids) == 20
     assert len(set(ids.tolist())) == 20
     assert ids.max() < bundle.num_users
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_train_batch_slice_matches_full(bundle, backend):
+    """Multi-process determinism contract: sampling a slice of a batch
+    (train_batch_slice) produces exactly the rows/columns the full-batch
+    call yields — per-user RNG seeding + fixed slots (train arrays) and
+    global-then-slice SSL pairing."""
+    if backend == "native":
+        from sagnn_tpu.data import native_sampler as ns
+        if ns.load_library() is None:
+            pytest.skip("native sampler not built")
+    mk = lambda: Sampler(bundle=bundle, batch=8, samp_num=6, ssl_num=4,
+                         pred_num=5, pos_length=10, test_size=12, seed=7,
+                         backend=backend)
+    bat = np.arange(8)
+    full = mk().train_batch(bat)
+    s0 = mk().train_batch_slice(bat, 0, 4)
+    s1 = mk().train_batch_slice(bat, 4, 4)
+
+    P = 4 * 6
+    np.testing.assert_array_equal(full.uids[:P], s0.uids)
+    np.testing.assert_array_equal(full.uids[P:], s1.uids)
+    np.testing.assert_array_equal(full.pos_iids[:P], s0.pos_iids)
+    np.testing.assert_array_equal(full.neg_iids[P:], s1.neg_iids)
+    np.testing.assert_array_equal(full.pair_mask[:P], s0.pair_mask)
+    np.testing.assert_array_equal(full.seq[:4], s0.seq)
+    np.testing.assert_array_equal(full.seq[4:], s1.seq)
+    np.testing.assert_array_equal(full.seq_mask[4:], s1.seq_mask)
+    # local row ids + offset = global row ids
+    np.testing.assert_array_equal(
+        full.useq_row[P:][full.pair_mask[P:] > 0],
+        s1.useq_row[s1.pair_mask > 0] + 4)
+    # ssl pairing is global: the slices are exact column blocks
+    np.testing.assert_array_equal(full.ssl_u_a[:, :4 * 4], s0.ssl_u_a)
+    np.testing.assert_array_equal(full.ssl_i_b[:, 4 * 4:], s1.ssl_i_b)
+    np.testing.assert_array_equal(full.ssl_mask[:, :4 * 4], s0.ssl_mask)
