@@ -695,12 +695,17 @@ def _ssl_loss(params: Dict, batch: TrainBatch, final_user: jnp.ndarray,
         hinge = jnp.maximum(0.0, 1.0 - s_final * (s_short_a - s_short_b))
         return jnp.sum(hinge * m)
 
-    # vmap (not lax.map/scan): the per-graph work is small, so batching all
-    # intervals into one set of gathers/matmuls beats serializing them
-    losses = jax.vmap(per_graph)((
-        user_vec, item_vec,
-        batch.ssl_u_a, batch.ssl_i_a, batch.ssl_u_b, batch.ssl_i_b,
-        batch.ssl_mask))
+    xs = (user_vec, item_vec,
+          batch.ssl_u_a, batch.ssl_i_a, batch.ssl_u_b, batch.ssl_i_b,
+          batch.ssl_mask)
+    if user_vec.shape[1] * user_vec.shape[2] <= 2 ** 24:
+        # small graphs: batch all intervals into one set of gathers/matmuls
+        losses = jax.vmap(per_graph)(xs)
+    else:
+        # huge graphs: vmap'd node-table gathers flatten [g, N, D] into a
+        # row-major [g*N, D] copy (2x lane-padded at D=64 — 2.3 GB at 1M
+        # nodes); a sequential map keeps one interval's gather live
+        losses = jax.lax.map(per_graph, xs)
     return jnp.sum(losses)
 
 
