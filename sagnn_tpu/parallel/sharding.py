@@ -64,7 +64,12 @@ def graph_shardings(rules: ShardingRules, graphs: Dict) -> Dict:
     s3 = rules.named(None, None, rules.model_axis)
     out = {}
     for k in graphs:
-        if k == "ring":
+        if k in ("plans", "plans_ss"):
+            # chunk schedules are not shardable along the edge axis
+            # without replanning -> replicated
+            out[k] = jax.tree_util.tree_map(
+                lambda a: rules.replicated, graphs[k])
+        elif k == "ring":
             # per-leaf: ring buckets are [g, P, ...] and the pallas plan
             # arrays are [g, P, P, NC(, C)] — axis 1 is always the
             # target-shard axis riding 'model'
