@@ -5,14 +5,16 @@ into "synthetic converges to the same numbers the reference gets on the
 same data").
 
 Real pickles don't ship in /root/reference (only tst_int), so the dataset
-is our generator's, shaped like a scaled-down gowalla (graphNum 3,
-gnn_layer 2, att_layer 1, the gowalla.sh hyperparameters). Both sides use
-identical configs, the same eval protocol (testSize candidates, 1
-positive), and their own samplers (sampling is random either way; parity
-is the converged metric level, not the trajectory).
+is our generator's, shaped like a scaled-down version of the chosen
+preset (--preset gowalla|movielens|yelp|amazon: graphNum/gnn_layer/
+att_layer/ssldim/lr/ssl_reg verbatim from the launch scripts;
+batch/testSize/pos_length/sslNum scaled down ~5x with the user count).
+Both sides use identical configs, the same eval protocol (testSize
+candidates, 1 positive), and their own samplers (sampling is random
+either way; parity is the converged metric level, not the trajectory).
 
-    python scripts/parity_quality.py [--users 3000] [--items 2500]
-        [--epochs 30]
+    python scripts/parity_quality.py [--preset gowalla] [--users 3000]
+        [--items 2500] [--epochs 30]
 
 Prints one JSON line {"ref": {...}, "ours": {...}, "config": {...}}.
 """
@@ -39,16 +41,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# gowalla.sh hyperparameters at reduced scale (lr/reg/ssl_reg/ssldim/
-# graphNum/gnn_layer/att_layer verbatim; batch/testSize/pos_length scaled)
-HP = {
-    "--graphNum": "3", "--gnn_layer": "2", "--att_layer": "1",
-    "--latdim": "64", "--num_attention_heads": "8", "--ssldim": "48",
-    "--batch": "256", "--sslNum": "8", "--pos_length": "50",
-    "--pred_num": "5", "--reg": "1e-2", "--ssl_reg": "1e-6",
-    "--lr": "2e-3", "--decay": "0.96", "--keepRate": "1.0",
-    "--leaky": "0.5", "--testSize": "100", "--tstEpoch": "3",
+# Launch-script hyperparameters at reduced scale, per preset
+# (lr/reg/ssl_reg/ssldim/graphNum/gnn_layer/att_layer/keepRate/pred_num
+# verbatim from the .sh files; batch/testSize/pos_length/sslNum scaled
+# with the ~5x-smaller user count). BASE_HP mirrors gowalla's round-2
+# recorded row; per-preset dicts override the architecture knobs.
+BASE_HP = {
+    "--latdim": "64", "--num_attention_heads": "8",
+    "--batch": "256", "--pos_length": "50",
+    "--reg": "1e-2", "--decay": "0.96", "--leaky": "0.5",
+    "--testSize": "100", "--tstEpoch": "3",
 }
+PRESET_HP = {
+    # gowalla.sh:1
+    "gowalla": {"--graphNum": "3", "--gnn_layer": "2", "--att_layer": "1",
+                "--ssldim": "48", "--lr": "2e-3", "--ssl_reg": "1e-6",
+                "--sslNum": "8", "--pred_num": "5", "--keepRate": "1.0"},
+    # movielens.sh:1 (sslNum 90 -> 18)
+    "movielens": {"--graphNum": "6", "--gnn_layer": "2", "--att_layer": "3",
+                  "--ssldim": "48", "--lr": "1e-3", "--ssl_reg": "1e-6",
+                  "--sslNum": "18", "--pred_num": "5", "--keepRate": "0.5"},
+    # yelp.sh:1 (sslNum 40 -> 8)
+    "yelp": {"--graphNum": "12", "--gnn_layer": "3", "--att_layer": "2",
+             "--ssldim": "32", "--lr": "1e-3", "--ssl_reg": "1e-7",
+             "--sslNum": "8", "--pred_num": "5", "--keepRate": "0.5"},
+    # amazon.sh:1 (sslNum 80 -> 16; pred_num 0)
+    "amazon": {"--graphNum": "5", "--gnn_layer": "3", "--att_layer": "4",
+               "--ssldim": "32", "--lr": "1e-3", "--ssl_reg": "1e-6",
+               "--sslNum": "16", "--pred_num": "0", "--keepRate": "0.5"},
+}
+HP = dict(BASE_HP)  # completed in main() from --preset
 
 
 def write_reference_pickles(bundle, root: str, name: str) -> None:
@@ -110,14 +132,23 @@ def run_ours(bundle, epochs: int, trn_num: int) -> dict:
         TrainConfig
     from sagnn_tpu.train.trainer import Trainer
 
+    hp = {k.lstrip("-"): v for k, v in HP.items()}  # same dict the ref gets
     cfg = Config(
-        model=ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=64,
-                          num_heads=8, ssldim=48, pos_length=50,
-                          keep_rate=1.0, spmm_backend="xla"),
-        train=TrainConfig(lr=2e-3, batch=256, reg=1e-2, ssl_reg=1e-6,
-                          samp_num=40, ssl_num=8, pred_num=5,
-                          trn_num=trn_num, test_size=100, tst_epoch=3,
-                          epoch=epochs),
+        model=ModelConfig(graph_num=int(hp["graphNum"]),
+                          gnn_layer=int(hp["gnn_layer"]),
+                          att_layer=int(hp["att_layer"]),
+                          latdim=int(hp["latdim"]),
+                          num_heads=int(hp["num_attention_heads"]),
+                          ssldim=int(hp["ssldim"]),
+                          pos_length=int(hp["pos_length"]),
+                          keep_rate=float(hp["keepRate"]),
+                          leaky=float(hp["leaky"]), spmm_backend="xla"),
+        train=TrainConfig(lr=float(hp["lr"]), batch=int(hp["batch"]),
+                          reg=float(hp["reg"]), ssl_reg=float(hp["ssl_reg"]),
+                          samp_num=40, ssl_num=int(hp["sslNum"]),
+                          pred_num=int(hp["pred_num"]),
+                          trn_num=trn_num, test_size=int(hp["testSize"]),
+                          tst_epoch=int(hp["tstEpoch"]), epoch=epochs),
         data=DataConfig(data="synthetic"),
     )
     tr = Trainer(cfg, bundle, ckpt_root=tempfile.mkdtemp())
@@ -136,18 +167,21 @@ def run_ours(bundle, epochs: int, trn_num: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=sorted(PRESET_HP), default="gowalla")
     ap.add_argument("--users", type=int, default=3000)
     ap.add_argument("--items", type=int, default=2500)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--skip_ref", action="store_true")
     args_cli = ap.parse_args()
+    HP.update(PRESET_HP[args_cli.preset])
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # CPU only, never the TPU
     from sagnn_tpu.data.synthetic import synthetic_dataset
 
     bundle = synthetic_dataset(num_users=args_cli.users,
-                               num_items=args_cli.items, graph_num=3,
+                               num_items=args_cli.items,
+                               graph_num=int(HP["--graphNum"]),
                                seq_len_range=(8, 60), test_size=100,
                                seed=23)
     trn_num = args_cli.users
@@ -159,6 +193,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "quality_parity_same_data",
+        "preset": args_cli.preset,
         "users": args_cli.users, "items": args_cli.items,
         "epochs": args_cli.epochs, "test_candidates": 100,
         "ref": ref, "ours": ours,

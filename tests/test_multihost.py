@@ -14,25 +14,27 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.timeout(300)
-def test_two_process_ring_spmm():
+@pytest.mark.parametrize("procs", [2, 4])
+def test_multi_process_ring_spmm(procs):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "bench_multihost.py"),
-         "--procs", "2", "--local_devices", "1", "--edges", "60000",
+         "--procs", str(procs), "--local_devices", "1", "--edges", "60000",
          "--users", "4000", "--items", "3000", "--iters", "1"],
         capture_output=True, timeout=280, cwd=ROOT, env=env)
     assert out.returncode == 0, out.stderr.decode()[-2000:]
     line = [l for l in out.stdout.decode().splitlines()
             if l.startswith("{")][-1]
     res = json.loads(line)
-    assert res["processes"] == 2
+    assert res["processes"] == procs
     assert res["checksum_ok"] is True
 
 
-@pytest.mark.timeout(300)
-def test_two_process_train_epoch_matches_single():
-    """END-TO-END 2-process training: per-host sampler shards + GSPMD step.
+@pytest.mark.timeout(420)
+@pytest.mark.parametrize("procs", [2, 4])
+def test_multi_process_train_epoch_matches_single(procs):
+    """END-TO-END N-process training: per-host sampler shards + GSPMD step.
     The sampler determinism contract makes the assembled global batches
     identical to a single-process run on the same mesh shape, so the
     epoch losses must match."""
@@ -40,15 +42,15 @@ def test_two_process_train_epoch_matches_single():
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts", "bench_multihost.py"),
-         "--mode", "train", "--procs", "2", "--local_devices", "1"],
-        capture_output=True, timeout=280, cwd=ROOT, env=env)
+         "--mode", "train", "--procs", str(procs), "--local_devices", "1"],
+        capture_output=True, timeout=400, cwd=ROOT, env=env)
     assert out.returncode == 0, out.stderr.decode()[-2000:]
     line = [l for l in out.stdout.decode().splitlines()
             if l.startswith("{")][-1]
     res = json.loads(line)
-    assert res["processes"] == 2
+    assert res["processes"] == procs
 
-    # single-process reference on an identical 2-device 'data' mesh
+    # single-process reference on an identical N-device 'data' mesh
     import jax
     import numpy as np
     from sagnn_tpu.config import Config, ModelConfig, TrainConfig
@@ -65,8 +67,9 @@ def test_two_process_train_epoch_matches_single():
         train=TrainConfig(batch=16, samp_num=4, ssl_num=2, trn_num=32,
                           test_size=10, lr=5e-3),
     )
-    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
-    tr = Trainer(cfg, bundle, ckpt_root="/tmp/mh_single_ref", mesh=mesh)
+    mesh = make_mesh(data=procs, model=1, devices=jax.devices()[:procs])
+    tr = Trainer(cfg, bundle, ckpt_root=f"/tmp/mh_single_ref_{procs}",
+                 mesh=mesh)
     ref = tr.train_epoch(verbose=False)
     mets = tr.test_epoch()
     np.testing.assert_allclose(res["Loss"], ref["Loss"], rtol=1e-4)
