@@ -837,20 +837,31 @@ class SelfGNN:
             scores = jnp.where(seen, -jnp.inf, scores)
         return topk_descending(scores, k, recall_target)
 
-    def score_all_items(self, params: Dict, final_user: jnp.ndarray,
+    def serving_queries(self, params: Dict, final_user: jnp.ndarray,
                         final_item: jnp.ndarray, user_ids: jnp.ndarray,
                         seq: jnp.ndarray, seq_mask: jnp.ndarray
                         ) -> jax.Array:
-        """Full-catalog scores [B, num_items] from precomputed encodings —
-        the two-term head of model.py:169-173 expanded over every item:
-        (pu + leakyReLU(att_user)) @ final_item^T. Backs both the full-sort
-        evaluation protocol and the serving path."""
+        """Per-user head vector q = final_user[uid] + leakyReLU(att_user)
+        [B, D]: the two-term head of model.py:169-173 folded into one
+        query vector (both terms dot the same final_item row, so
+        scores = q @ final_item^T). This is the query side of the
+        serving path — parallel.serving shards the catalog side."""
         cfg = self.cfg
         att_user = _sequence_branch(params, final_item, seq, seq_mask, cfg,
                                     mesh=self.mesh)
         pu = jnp.take(final_user, user_ids, axis=0)           # [B, D]
         au = leaky_relu(att_user, cfg.leaky)                  # [B, D]
-        return (pu + au) @ final_item.T                        # [B, I]
+        return pu + au
+
+    def score_all_items(self, params: Dict, final_user: jnp.ndarray,
+                        final_item: jnp.ndarray, user_ids: jnp.ndarray,
+                        seq: jnp.ndarray, seq_mask: jnp.ndarray
+                        ) -> jax.Array:
+        """Full-catalog scores [B, num_items] from precomputed encodings —
+        (pu + leakyReLU(att_user)) @ final_item^T. Backs both the full-sort
+        evaluation protocol and the serving path."""
+        return self.serving_queries(params, final_user, final_item,
+                                    user_ids, seq, seq_mask) @ final_item.T
 
     def score_with_encodings(self, params: Dict, final_user: jnp.ndarray,
                              final_item: jnp.ndarray, user_ids: jnp.ndarray,
