@@ -111,6 +111,14 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
         seen_seq = jnp.zeros((queries.shape[0], 1), jnp.int32)
         seen_mask = jnp.zeros((queries.shape[0], 1), jnp.float32)
 
+    # queries/masks may arrive from the encode device (single-device
+    # sharding); replicate them onto the serving mesh so every operand
+    # commits to the same device set
+    rep = NamedSharding(mesh, P())
+    queries = jax.device_put(queries, rep)
+    seen_seq = jax.device_put(seen_seq, rep)
+    seen_mask = jax.device_put(seen_mask, rep)
+
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(axis, None), P(), P()),
@@ -123,30 +131,32 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
 
 
 def sharded_recommend_top_k(model, mesh: Mesh, params, final_user,
-                            item_table, num_items: int,
-                            user_ids: jnp.ndarray, seq: jnp.ndarray,
-                            seq_mask: jnp.ndarray, k: int = 10,
-                            exclude_seen: bool = True,
+                            final_item, user_ids: jnp.ndarray,
+                            seq: jnp.ndarray, seq_mask: jnp.ndarray,
+                            k: int = 10, exclude_seen: bool = True,
                             recall_target: float = 1.0,
-                            axis: str = "model"
+                            axis: str = "model", item_table=None
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Serving facade over a sharded catalog.
 
     Mirrors SelfGNN.recommend_top_k (the two-term head of
-    /root/reference/model.py:169-173 expanded over every item) but scores
-    against `item_table` — the pad_catalog'ed final_item encodings sharded
-    over the mesh — so catalogs far past one chip's HBM serve at full rate.
+    /root/reference/model.py:169-173 expanded over every item) but runs
+    the catalog side sharded over the mesh, so item sets far past one
+    chip's HBM serve at full rate.
 
-    The sequence branch needs the REAL final_item rows for its token
-    lookups; pass the unpadded gather source via model.serving_queries'
-    final_item argument = item_table[:num_items] only when the table is
-    small, or keep a replicated copy of the token-embedding rows —
-    here we gather from the sharded table directly (XLA inserts the
-    collective gather on the 'model' axis).
+    The query side (sequence branch token lookups + final_user row) runs
+    on the encode device with the unsharded `final_item`; only the [B, D]
+    queries cross to the serving mesh. Pass a pre-sharded `item_table`
+    (pad_catalog + shard_catalog) to reuse it across request batches —
+    otherwise it is built here from `final_item` per call.
     """
-    queries = model.serving_queries(params, final_user,
-                                    item_table[:num_items],
+    queries = model.serving_queries(params, final_user, final_item,
                                     user_ids, seq, seq_mask)
+    num_items = final_item.shape[0]
+    if item_table is None:
+        item_table = shard_catalog(
+            mesh, pad_catalog(np.asarray(final_item), mesh.shape[axis]),
+            axis)
     return sharded_topk(mesh, queries, item_table, num_items, k,
                         recall_target,
                         seen_seq=seq if exclude_seen else None,

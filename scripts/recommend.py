@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--recall", type=float, default=1.0,
                     help="top-k recall target (1.0 = exact; <1 trades "
                          "recall for throughput via approx_max_k)")
+    ap.add_argument("--catalog_shards", type=int, default=0,
+                    help="shard the item-encoding catalog over this many "
+                         "devices ('model' mesh axis) and serve via the "
+                         "distributed-MIPS path (parallel/serving.py); "
+                         "0 = single-device recommend_top_k")
     ap.add_argument("--synth_users", type=int, default=2048,
                     help="--data synthetic: number of users (must match "
                          "the checkpointed run)")
@@ -93,10 +98,23 @@ def main():
         seq[i, L - len(items):] = items
         mask[i, L - len(items):] = 1.0
 
-    scores, items = tr.model.recommend_top_k(
-        tr.state["params"], tr.graphs, jnp.asarray(users),
-        jnp.asarray(seq), jnp.asarray(mask), k=args.k,
-        exclude_seen=not args.include_seen, recall_target=args.recall)
+    if args.catalog_shards > 1:
+        from sagnn_tpu.parallel.mesh import make_mesh
+        from sagnn_tpu.parallel.serving import sharded_recommend_top_k
+        mesh = make_mesh(data=1, model=args.catalog_shards)
+        final_user, final_item, _, _ = tr.model.encode(
+            tr.state["params"], tr.graphs, train=False)
+        scores, items = sharded_recommend_top_k(
+            tr.model, mesh, tr.state["params"], final_user, final_item,
+            jnp.asarray(users), jnp.asarray(seq),
+            jnp.asarray(mask), k=args.k,
+            exclude_seen=not args.include_seen,
+            recall_target=args.recall)
+    else:
+        scores, items = tr.model.recommend_top_k(
+            tr.state["params"], tr.graphs, jnp.asarray(users),
+            jnp.asarray(seq), jnp.asarray(mask), k=args.k,
+            exclude_seen=not args.include_seen, recall_target=args.recall)
     scores, items = np.asarray(scores), np.asarray(items)
     for i, u in enumerate(users):
         print(json.dumps({"user": int(u),

@@ -72,10 +72,12 @@ def test_sharded_recommend_matches_single_device():
         mesh = make_mesh(data=1, model=8)
         final_user, final_item, _, _ = model.encode(params, graphs,
                                                     train=False)
+        # pre-sharded table on one call, auto-built on the other
         table = shard_catalog(mesh, pad_catalog(np.asarray(final_item), 8))
         got_v, got_i = sharded_recommend_top_k(
-            model, mesh, params, final_user, table, I, user_ids, seq, mask,
-            k=k, exclude_seen=exclude)
+            model, mesh, params, final_user, final_item, user_ids, seq,
+            mask, k=k, exclude_seen=exclude,
+            item_table=table if exclude else None)
         np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
                                    rtol=1e-5, atol=1e-5)
         # ids may differ only at exact ties; verify scores at ids instead
