@@ -25,6 +25,8 @@ class CheckpointManager:
         self.dir = os.path.abspath(os.path.join(root, save_path))
         os.makedirs(self.dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+        # (history, config) of an uncommitted async save; see save(block=)
+        self._pending = None
 
     @property
     def _state_dir(self) -> str:
@@ -39,7 +41,7 @@ class CheckpointManager:
         return os.path.join(self.dir, "config.json")
 
     def save(self, state: Dict, history: MetricsHistory,
-             config=None) -> None:
+             config=None, block: bool = True) -> None:
         """config: optional sagnn_tpu.config.Config persisted alongside the
         weights so inference tooling (scripts/recommend.py) can rebuild the
         exact model without the training command line.
@@ -49,28 +51,52 @@ class CheckpointManager:
         host's memory (the round-1 np.asarray gather forced full replication
         and broke exactly when multi-process training landed). Restoring
         onto a different mesh shape works because restore() takes the target
-        state's shardings as the template (see restore)."""
+        state's shardings as the template (see restore).
+
+        block=False returns as soon as the device arrays are staged to host
+        (orbax's async writer); the tmp->final rename and history/config
+        sidecars commit at the next save()/restore()/finalize() call, so
+        training overlaps the disk write (matters at multi-GB state sizes).
+        The previous committed checkpoint stays intact until then. In
+        multi-process runs save/finalize are collective — call them in
+        lockstep (the Trainer does)."""
         import shutil
-        path = self._state_dir
-        tmp = path + ".tmp"
+        self.finalize()                      # commit any in-flight save
+        tmp = self._state_dir + ".tmp"
         multiproc = jax.process_count() > 1
-        lead = jax.process_index() == 0
-        if lead and os.path.exists(tmp):
+        if jax.process_index() == 0 and os.path.exists(tmp):
             shutil.rmtree(tmp)
         if multiproc:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("ckpt_tmp_clear")
         self._ckpt.save(tmp, state)          # collective when multi-process
+        # snapshot the sidecars now: the trainer keeps appending to history
+        self._pending = ({k: list(v) for k, v in history.data.items()},
+                         config)
+        if block:
+            self.finalize()
+
+    def finalize(self) -> None:
+        """Commit an uncommitted async save (no-op otherwise): wait for the
+        writer, atomically rename tmp -> state, write the sidecars."""
+        if self._pending is None:
+            return
+        import shutil
+        history_data, config = self._pending
+        self._pending = None
+        path = self._state_dir
+        tmp = path + ".tmp"
+        multiproc = jax.process_count() > 1
         self._ckpt.wait_until_finished()
         if multiproc:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("ckpt_written")
-        if lead:
+        if jax.process_index() == 0:
             if os.path.exists(path):
                 shutil.rmtree(path)
             os.rename(tmp, path)
             with open(self._history_path, "w") as f:
-                json.dump(history.data, f)
+                json.dump(history_data, f)
             if config is not None:
                 import dataclasses
                 with open(self._config_path, "w") as f:
@@ -96,6 +122,7 @@ class CheckpointManager:
         """abstract_state: a state pytree (concrete or abstract) whose
         shapes/dtypes/SHARDINGS are the restore targets — restoring onto a
         different mesh than the save reshards on load."""
+        self.finalize()                      # a pending save must be visible
         if not os.path.exists(self._state_dir):
             return None, MetricsHistory()
 

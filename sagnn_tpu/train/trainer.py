@@ -653,8 +653,12 @@ class Trainer:
                     "Test", ep, cfg.train.epoch,
                     {"HR": te["HR"], "NDCG": te["NDCG"]}))
                 if te["NDCG"] > max_ndcg:  # best-NDCG save policy
-                    self.ckpt.save(self.state, self.history, self.cfg)
+                    # async: the disk write overlaps the next epochs; the
+                    # commit happens at the next save/restore/finalize
+                    self.ckpt.save(self.state, self.history, self.cfg,
+                                   block=False)
                     max_ndcg, max_res, max_epoch = te["NDCG"], te, ep
+        self.ckpt.finalize()
         final = self.test_epoch()
         log(self.history.format_line("Test", cfg.train.epoch,
                                      cfg.train.epoch,

@@ -80,6 +80,35 @@ def test_checkpoint_roundtrip(bundle, tmp_path_factory):
     assert tr2.ckpt.resume_epoch(hist, tst_epoch=3) == 1
 
 
+def test_checkpoint_async_save(bundle, tmp_path_factory):
+    """block=False: the tmp->state commit is deferred until the next
+    save/restore/finalize; history appended AFTER the save must not leak
+    into the committed sidecar (the snapshot semantics)."""
+    import os
+    root = str(tmp_path_factory.mktemp("ck_async"))
+    tr = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)
+    tr.history.append("Train", {"Loss": 1.0, "preLoss": 0.9})
+    tr.ckpt.save(tr.state, tr.history, block=False)
+    tr.history.append("Train", {"Loss": 0.5, "preLoss": 0.4})  # post-save
+    tr.ckpt.finalize()
+    assert os.path.exists(os.path.join(root, CFG.train.save_path, "state"))
+    tr.ckpt.finalize()  # idempotent
+
+    tr2 = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)
+    state, hist = tr2.ckpt.restore(tr2.state)
+    assert state is not None
+    assert hist.data["TrainLoss"] == [1.0]  # snapshot, not [1.0, 0.5]
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state["params"]),
+                    jax.tree_util.tree_leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restore() commits a pending save by itself (no explicit finalize)
+    tr.history.append("Train", {"Loss": 0.3, "preLoss": 0.2})
+    tr.ckpt.save(tr.state, tr.history, block=False)
+    _, hist4 = tr.ckpt.restore(tr.state)
+    assert hist4.data["TrainLoss"] == [1.0, 0.5, 0.3]
+
+
 def test_dataset_io_roundtrip(bundle, tmp_path):
     save_dataset(str(tmp_path / "ds"), bundle)
     loaded = load_dataset(str(tmp_path / "ds"))
