@@ -96,6 +96,12 @@ def parse_args() -> argparse.Namespace:
                    "999-precomputed-negative protocol")
     p.add_argument("--fusion_dtype", choices=["f32", "bf16"],
                    help="temporal-fusion/attention compute dtype")
+    p.add_argument("--bf16", action="store_true", default=None,
+                   help="throughput mode (non-parity): bf16 SpMM message "
+                        "stream + bf16 fusion stack + stable softmax — "
+                        "the fastest single-chip mode, and the one that "
+                        "fits 1M-node graphs in one chip's HBM "
+                        "(scripts/probe_bigmem.py)")
     p.add_argument("--fusion_chunk_rows", type=int,
                    help="stream temporal fusion in node blocks of this "
                         "size (memory bound at huge node counts; 0 = off)")
@@ -127,6 +133,10 @@ def build_config(ns: argparse.Namespace) -> Config:
     cfg = PRESETS.get(ns.data, Config())
     m_over = {k: v for k, v in vars(ns).items()
               if k in MODEL_KEYS and v is not None}
+    if ns.bf16:
+        m_over.setdefault("spmm_exact", False)
+        m_over.setdefault("fusion_dtype", "bf16")
+        m_over.setdefault("stable_softmax", True)
     t_over = {k: v for k, v in vars(ns).items()
               if k in TRAIN_KEYS and v is not None}
     return Config(

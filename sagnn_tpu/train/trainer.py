@@ -250,6 +250,14 @@ class Trainer:
                     keys += ["u_weights", "i_weights"]
                 self.graphs["ring"] = {k: jnp.asarray(ring[k])
                                        for k in keys}
+        if (cfg.model.spmm_backend in ("pallas", "ring")
+                and not cfg.model.edge_attention):
+            # the pallas/ring propagation paths read only their
+            # plan/bucket pytrees — the raw [g, E] COO blocks would ride
+            # the step as dead device args (~1 GB at 60M edges; the xla
+            # backend and the edge-attention variant still need them)
+            for k in ("u_src", "u_tgt", "i_src", "i_tgt"):
+                self.graphs.pop(k, None)
         self.sampler = Sampler(
             bundle=bundle, batch=cfg.train.batch,
             samp_num=cfg.train.samp_num, ssl_num=cfg.train.ssl_num,

@@ -1,0 +1,112 @@
+"""AOT-compile the full train step at 1M-node scale under different memory
+configs and report XLA's HBM verdict for each (no training, no epoch loop).
+
+Finds which combination of the memory levers (remat_propagation,
+fusion_chunk_rows, fusion_dtype, spmm_exact, batch) fits the chip's
+15.75 GB — DESIGN.md §8's claim is audited by this script.
+
+    python scripts/probe_bigmem.py [--users 1048576] [--items 786432]
+        [--edges 60000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=1_048_576)
+    ap.add_argument("--items", type=int, default=786_432)
+    ap.add_argument("--edges", type=int, default=60_000_000)
+    ap.add_argument("--graph_num", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from sagnn_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from sagnn_tpu.data.synthetic import synthetic_large_dataset
+    from sagnn_tpu.train.trainer import Trainer
+
+    t0 = time.perf_counter()
+    bundle = synthetic_large_dataset(
+        num_users=args.users, num_items=args.items,
+        total_edges=args.edges, graph_num=args.graph_num, test_size=100,
+        seed=0)
+    log(f"dataset: {time.perf_counter()-t0:.0f}s")
+
+    def try_cfg(name, batch=512, **model_kw):
+        cfg = Config(
+            model=ModelConfig(graph_num=args.graph_num, gnn_layer=2,
+                              att_layer=1, latdim=64, num_heads=8,
+                              ssldim=48, pos_length=200,
+                              spmm_backend="pallas", **model_kw),
+            train=TrainConfig(batch=batch, samp_num=10, ssl_num=8,
+                              trn_num=4096, test_size=100),
+            data=DataConfig(data="synthetic"),
+        )
+        t0 = time.perf_counter()
+        tr = Trainer(cfg, bundle, ckpt_root="/tmp/probe_bigmem_models")
+        bat_ids = tr.sampler.epoch_user_ids(cfg.train.batch)
+        batch_data = tr.sampler.train_batch(bat_ids)
+        key = jax.random.PRNGKey(0)
+        try:
+            lowered = tr._train_step.lower(tr.state, tr.graphs, batch_data,
+                                           key)
+            compiled = lowered.compile()
+            try:
+                ma = compiled.memory_analysis()
+                extra = (f" temps={ma.temp_size_in_bytes/2**30:.2f}G "
+                         f"args={ma.argument_size_in_bytes/2**30:.2f}G "
+                         f"out={ma.output_size_in_bytes/2**30:.2f}G "
+                         f"(aliased {ma.alias_size_in_bytes/2**30:.2f}G)")
+            except Exception:
+                extra = ""
+            log(f"FIT  {name}: compiled in {time.perf_counter()-t0:.0f}s"
+                f"{extra}")
+            return True
+        except Exception as e:
+            msg = str(e)
+            i = msg.find("Used ")
+            log(f"OOM  {name}: {msg[i:i+60] if i >= 0 else msg[:160]}")
+            return False
+
+    import json
+    configs = [
+        ("baseline (no levers)", {}),
+        ("remat", dict(remat_propagation=True)),
+        ("remat+chunk64k", dict(remat_propagation=True,
+                                fusion_chunk_rows=65_536)),
+        ("remat+chunk64k+bf16fusion",
+         dict(remat_propagation=True, fusion_chunk_rows=65_536,
+              fusion_dtype="bf16", stable_softmax=True)),
+        ("remat+chunk64k+bf16fusion+bf16spmm",
+         dict(remat_propagation=True, fusion_chunk_rows=65_536,
+              fusion_dtype="bf16", stable_softmax=True, spmm_exact=False)),
+        # f32-exact variants chasing the last ~300 MB (measured: the
+        # exact-SpMM step is 313 MB over at chunk64k)
+        ("exact+remat+chunk32k", dict(remat_propagation=True,
+                                      fusion_chunk_rows=32_768)),
+        ("exact+remat+chunk32k+srcshard64k",
+         dict(remat_propagation=True, fusion_chunk_rows=32_768,
+              spmm_src_shard_rows=65_536)),
+    ]
+    results = {}
+    for name, kw in configs:
+        results[name] = try_cfg(name, **kw)
+    print(json.dumps({"metric": "bigmem_probe", "fits": results}))
+
+
+if __name__ == "__main__":
+    main()
