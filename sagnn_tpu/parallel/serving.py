@@ -70,7 +70,10 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
     n_shards = mesh.shape[axis]
     rows = item_table.shape[0]
     assert rows % n_shards == 0, (rows, n_shards)
-    assert rows >= k, (rows, k)
+    # guard against the REAL catalog size, not the padded row count: pad
+    # rows score -inf with ids >= num_items, which would index out of
+    # bounds downstream if k exceeded the true catalog
+    assert k <= num_items, (k, num_items)
     local_rows = rows // n_shards
     # a shard can contribute at most local_rows global winners, so the
     # merge stays exact with the per-shard k clamped (tiny catalogs)

@@ -268,11 +268,17 @@ class Trainer:
         self.history = MetricsHistory()
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.step_timer = StepTimer()
-        # edges processed per step: 2 directions × gnn_layer hops × padded E
-        # per interval × graph_num intervals (SURVEY.md §6 metric)
+        # edges processed per step: 2 directions × gnn_layer hops × REAL
+        # edges summed over intervals (SURVEY.md §6 metric). Padded slots
+        # are counted separately: on skewed datasets (yelp's 12 intervals
+        # all padded to the max interval's nnz) the padded-slot rate can
+        # inflate by the pad fraction, so it is observability for executed
+        # work, not the headline.
         self.edges_per_step = (2 * cfg.model.gnn_layer
-                               * self.graph_blocks.graph_num
-                               * self.graph_blocks.edges_padded)
+                               * int(self.graph_blocks.edge_counts.sum()))
+        self.padded_edges_per_step = (2 * cfg.model.gnn_layer
+                                      * self.graph_blocks.graph_num
+                                      * self.graph_blocks.edges_padded)
 
         self.mesh = mesh
         self.rng, init_key = jax.random.split(self.rng)
@@ -525,8 +531,12 @@ class Trainer:
             "step_ms_mean": mean * 1e3,
             "step_ms_p50": t.percentile(50) * 1e3,
             "step_ms_p95": t.percentile(95) * 1e3,
+            # true-edge rate (real nnz summed over intervals) — the honest
+            # throughput; padded-slot rate counts executed pad work too
             "edges_per_sec": (self.edges_per_step / mean
                               if t.times else 0.0),
+            "padded_edges_per_sec": (self.padded_edges_per_step / mean
+                                     if t.times else 0.0),
         }
 
     def test_epoch(self, dump_uid: int | None = None,
@@ -629,6 +639,27 @@ class Trainer:
                 log(f"Model Loaded, resuming at epoch {st_epoch}")
 
         max_ndcg, max_res, max_epoch = 0.0, {}, 0
+        try:
+            max_ndcg, max_res, max_epoch = self._epoch_loop(st_epoch)
+        finally:
+            # an uncaught exception (e.g. runtime RESOURCE_EXHAUSTED at 1M-
+            # node scale) must not discard a staged async best-NDCG save:
+            # commit any in-flight checkpoint on every exit path (SIGTERM/
+            # SIGINT are covered by the preemption handler; this covers
+            # exceptions)
+            self.ckpt.finalize()
+        final = self.test_epoch()
+        log(self.history.format_line("Test", cfg.train.epoch,
+                                     cfg.train.epoch,
+                                     {"HR": final["HR"],
+                                      "NDCG": final["NDCG"]}))
+        log(self.history.format_line("max", max_epoch, cfg.train.epoch,
+                                     max_res))
+        return max_res or final
+
+    def _epoch_loop(self, st_epoch: int):
+        cfg = self.cfg
+        max_ndcg, max_res, max_epoch = 0.0, {}, 0
         for ep in range(st_epoch, cfg.train.epoch):
             test = (ep % cfg.train.tst_epoch == 0)
             tr = self.train_epoch()
@@ -652,7 +683,9 @@ class Trainer:
             if ts["edges_per_sec"] > 0:
                 log(f"  step {ts['step_ms_mean']:.1f} ms avg "
                     f"(p95 {ts['step_ms_p95']:.1f}), propagation "
-                    f"{ts['edges_per_sec'] / 1e9:.4f} Gedges/s", save=False)
+                    f"{ts['edges_per_sec'] / 1e9:.4f} Gedges/s "
+                    f"({ts['padded_edges_per_sec'] / 1e9:.4f} incl. pad "
+                    f"slots)", save=False)
             if test:
                 te = self.test_epoch()
                 self.history.append("Test", {
@@ -666,12 +699,4 @@ class Trainer:
                     self.ckpt.save(self.state, self.history, self.cfg,
                                    block=False)
                     max_ndcg, max_res, max_epoch = te["NDCG"], te, ep
-        self.ckpt.finalize()
-        final = self.test_epoch()
-        log(self.history.format_line("Test", cfg.train.epoch,
-                                     cfg.train.epoch,
-                                     {"HR": final["HR"],
-                                      "NDCG": final["NDCG"]}))
-        log(self.history.format_line("max", max_epoch, cfg.train.epoch,
-                                     max_res))
-        return max_res or final
+        return max_ndcg, max_res, max_epoch

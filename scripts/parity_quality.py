@@ -43,9 +43,13 @@ def log(*a):
 
 # Launch-script hyperparameters at reduced scale, per preset
 # (lr/reg/ssl_reg/ssldim/graphNum/gnn_layer/att_layer/keepRate/pred_num
-# verbatim from the .sh files; batch/testSize/pos_length/sslNum scaled
-# with the ~5x-smaller user count). BASE_HP mirrors gowalla's round-2
-# recorded row; per-preset dicts override the architecture knobs.
+# verbatim from the .sh files, EXCEPT gowalla's keepRate: gowalla.sh does
+# not set it and the reference default is 0.5 (Params.py:31); 1.0 is a
+# deliberate deviation carried over from the round-1 comparison — both
+# sides get the same value, so the comparison stays internally fair.
+# batch/testSize/pos_length/sslNum scale with the ~5x-smaller user count.
+# BASE_HP mirrors gowalla's round-2 recorded row; per-preset dicts
+# override the architecture knobs.
 BASE_HP = {
     "--latdim": "64", "--num_attention_heads": "8",
     "--batch": "256", "--pos_length": "50",

@@ -78,6 +78,12 @@ def main() -> None:
             return True
         except Exception as e:
             msg = str(e)
+            # only a genuine memory verdict is reported as OOM; any other
+            # compile failure (shape error, Mosaic bug) is an ERROR — the
+            # fits table the recipe docs rely on must not conflate them
+            if "RESOURCE_EXHAUSTED" not in msg and "Used " not in msg:
+                log(f"ERROR {name}: {msg[:200]}")
+                raise
             i = msg.find("Used ")
             log(f"OOM  {name}: {msg[i:i+60] if i >= 0 else msg[:160]}")
             return False
