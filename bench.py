@@ -207,7 +207,17 @@ def main() -> None:
         with open(anchor_path, "w") as f:
             json.dump({"edges_per_sec": anchor,
                        "note": "XLA segment-sum reference path, 4-step chained timing"}, f)
-    print(json.dumps({
+
+    # regression tracking: the anchor freezes only the XLA reference; the
+    # Pallas numbers float run-to-run (relay noise ~2%), so record every
+    # run in BENCH_HISTORY.json and flag real drops against the last one
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_HISTORY.json")
+    history = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            history = json.load(f)
+    out = {
         "metric": "spmm_propagation_throughput",
         "value": round(edges_per_sec / 1e9, 4),
         "unit": "Gedges/s/chip",
@@ -218,7 +228,23 @@ def main() -> None:
         "vs_baseline_bf16": round(edges_per_sec_bf16 / anchor, 4),
         "note": "value/vs_baseline: f32 parity mode vs the frozen f32 XLA "
                 "segment-sum anchor; _bf16: non-parity throughput mode",
-    }))
+    }
+    if history:
+        prev = history[-1]
+        out["vs_prev_run"] = round(out["value"] / prev["value"], 4)
+        out["vs_prev_run_bf16"] = round(
+            out["value_bf16"] / prev["value_bf16"], 4)
+        for key, ratio in (("f32", out["vs_prev_run"]),
+                           ("bf16", out["vs_prev_run_bf16"])):
+            if ratio < 0.95:
+                log(f"REGRESSION: {key} throughput {ratio:.3f}x the "
+                    f"previous run ({prev['value' if key == 'f32' else 'value_bf16']} G/s) — >5% drop")
+    history.append({"time": time.strftime("%Y-%m-%d %H:%M:%S"),
+                    "value": out["value"],
+                    "value_bf16": out["value_bf16"]})
+    with open(hist_path, "w") as f:
+        json.dump(history, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

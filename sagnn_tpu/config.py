@@ -121,6 +121,13 @@ class TrainConfig:
                                 # of the reference's 999-precomputed-negative
                                 # protocol (no reference analog; the stricter
                                 # standard rec-sys evaluation)
+    full_sort_chunk: int = 0    # full-sort eval catalog chunking: 0 = auto
+                                # (stream in 65,536-item chunks once the
+                                # catalog passes 131,072 items — the dense
+                                # [B, I] score matrix is ~1 GB/batch at 1M
+                                # items); -1 = force dense; >0 = explicit
+                                # items per chunk (streaming rank, see
+                                # train.metrics.streaming_positive_ranks)
     seed: int = 100             # main.py:21-23
     save_path: str = "tem"      # Params.py:12
     load_model: Optional[str] = None

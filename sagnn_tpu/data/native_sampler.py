@@ -106,18 +106,21 @@ def native_train_batch(lib, state: NativeSamplerState, bat_ids: np.ndarray,
 
 
 def native_ssl_batch(lib, state: NativeSamplerState, k: int,
-                     bat_ids: np.ndarray, batch_cap: int, ssl_num: int,
-                     seed: int):
-    Pssl = batch_cap * ssl_num
-    u_a = np.empty(Pssl, np.int32)
-    i_a = np.empty(Pssl, np.int32)
-    u_b = np.empty(Pssl, np.int32)
-    i_b = np.empty(Pssl, np.int32)
-    m = np.empty(Pssl, np.float32)
+                     bat_ids: np.ndarray, ssl_num: int, seed: int,
+                     col_start: int, col_size: int):
+    """Column window [col_start, col_start + col_size) of interval k's SSL
+    pair arrays (full batch: col_start=0, col_size=batch*ssl_num) — see
+    sample_ssl_batch's determinism contract in sampler.cc."""
+    u_a = np.empty(col_size, np.int32)
+    i_a = np.empty(col_size, np.int32)
+    u_b = np.empty(col_size, np.int32)
+    i_b = np.empty(col_size, np.int32)
+    m = np.empty(col_size, np.float32)
     bat = np.ascontiguousarray(bat_ids, dtype=np.int32)
     lib.sample_ssl_batch(
         ctypes.c_uint64(seed), _i32p(bat), ctypes.c_int64(len(bat)),
-        ctypes.c_int64(batch_cap), _i64p(state.sub_indptr[k]),
-        _i32p(state.sub_indices[k]), ctypes.c_int32(ssl_num),
+        _i64p(state.sub_indptr[k]), _i32p(state.sub_indices[k]),
+        ctypes.c_int32(ssl_num), ctypes.c_int64(col_start),
+        ctypes.c_int64(col_size),
         _i32p(u_a), _i32p(i_a), _i32p(u_b), _i32p(i_b), _f32p(m))
     return u_a, i_a, u_b, i_b, m

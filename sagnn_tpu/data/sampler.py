@@ -138,7 +138,8 @@ class Sampler:
 
     def train_batch(self, bat_ids: np.ndarray,
                     batch_cap: int | None = None,
-                    ssl_ids: np.ndarray | None = None) -> TrainBatch:
+                    ssl_ids: np.ndarray | None = None,
+                    ssl_cols: Tuple[int, int] | None = None) -> TrainBatch:
         """One train batch for `bat_ids`.
 
         Determinism contract (multi-process DP): per-user draws are seeded
@@ -148,11 +149,13 @@ class Sampler:
         (`train_batch_slice`) and the assembled global batch is identical
         to a single-host run. batch_cap sizes the output arrays (defaults
         to self.batch); ssl_ids overrides the id set for the SSL half
-        (whose half-split pairing is GLOBAL across the batch — see
-        train_batch_slice).
+        (whose half-split pairing is GLOBAL across the batch); ssl_cols
+        (start, size) samples only that window of the SSL pair columns —
+        see ssl_batch.
         """
         batch_seed = int(self.rng.integers(0, 2 ** 63))
-        ssl = self.ssl_batch(bat_ids if ssl_ids is None else ssl_ids)
+        ssl = self.ssl_batch(bat_ids if ssl_ids is None else ssl_ids,
+                             ssl_cols=ssl_cols)
         if self._native is not None:
             return self._train_batch_native(bat_ids, batch_seed,
                                             batch_cap or self.batch, ssl)
@@ -163,26 +166,16 @@ class Sampler:
                           size: int) -> TrainBatch:
         """This host's slice of the global batch `bat_ids` (rows
         [start, start+size)): train arrays are sampled only for the local
-        users (identical to the corresponding full-batch rows, per the
-        determinism contract); the SSL pair arrays are sampled for the FULL
-        batch (their reference half-split pairing crosses users, so the
-        layout is global — the sampling itself is cheap, two CSR draws per
-        user) and sliced to this host's pair columns. useq_row stays local
-        (0-based); the caller offsets it by `start` when assembling the
-        global batch."""
-        local = self.train_batch(bat_ids[start:start + size],
-                                 batch_cap=size, ssl_ids=bat_ids)
-        s0, s1 = start * self.ssl_num, (start + size) * self.ssl_num
-        return TrainBatch(
-            uids=local.uids, pos_iids=local.pos_iids,
-            neg_iids=local.neg_iids, useq_row=local.useq_row,
-            pair_mask=local.pair_mask, seq=local.seq,
-            seq_mask=local.seq_mask,
-            ssl_u_a=local.ssl_u_a[:, s0:s1],
-            ssl_i_a=local.ssl_i_a[:, s0:s1],
-            ssl_u_b=local.ssl_u_b[:, s0:s1],
-            ssl_i_b=local.ssl_i_b[:, s0:s1],
-            ssl_mask=local.ssl_mask[:, s0:s1])
+        users, and the SSL pair arrays only for this host's pair-column
+        window (both identical to the corresponding full-batch
+        rows/columns, per the determinism contracts in train_batch and
+        ssl_batch — host sampling cost is O(batch/N) per host). The SSL
+        prefix sums still walk the full id list (pure CSR degree reads,
+        no RNG). useq_row stays local (0-based); the caller offsets it by
+        `start` when assembling the global batch."""
+        return self.train_batch(
+            bat_ids[start:start + size], batch_cap=size, ssl_ids=bat_ids,
+            ssl_cols=(start * self.ssl_num, size * self.ssl_num))
 
     def _train_batch_native(self, bat_ids: np.ndarray, seed: int,
                             batch_cap: int, ssl: dict) -> TrainBatch:
@@ -238,86 +231,110 @@ class Sampler:
 
     # -- ssl ---------------------------------------------------------------
 
-    def ssl_batch(self, bat_ids: np.ndarray) -> dict:
-        if self._native is not None:
-            return self._ssl_batch_native(bat_ids)
-        return self._ssl_batch_numpy(bat_ids)
+    def ssl_batch(self, bat_ids: np.ndarray,
+                  ssl_cols: Tuple[int, int] | None = None) -> dict:
+        """SSL pair arrays [g, Pssl] (or the [g, size] column window
+        `ssl_cols=(start, size)` of them).
 
-    def _ssl_batch_native(self, bat_ids: np.ndarray) -> dict:
-        from sagnn_tpu.data import native_sampler as ns
-        lib, state = self._native
+        Reference layout (model.py:186-196 + 328-338): interleaved
+        (u, pos_j)(u, neg_j) draws flattened across the batch, split at the
+        global half — pair column j pairs flat entry j with entry half+j.
+
+        Determinism contract (multi-process DP, mirrors train_batch):
+        per-user draws are seeded by mix(interval_seed, uid) and land at
+        flat positions fixed by the deterministic per-user pair counts
+        (min(ssl_num, |row|//2), prefix-summed over the batch), so any
+        column window equals those columns of the full-batch arrays. A
+        host therefore samples only the users covering its own window —
+        O(batch/N) RNG work per host; the prefix sum itself is pure CSR
+        degree reads over the full id list.
+        """
         g = self.bundle.graph_num
-        Pssl = self.batch * self.ssl_num
-        out = {k: np.empty((g, Pssl),
+        col_start, col_size = ssl_cols or (0, self.batch * self.ssl_num)
+        # one seed per interval, drawn identically regardless of the window
+        # (keeps self.rng's stream position slice-invariant)
+        seeds = [int(self.rng.integers(0, 2 ** 63)) for _ in range(g)]
+        out = {k: np.zeros((g, col_size),
                            np.float32 if k == "ssl_mask" else np.int32)
                for k in ("ssl_u_a", "ssl_i_a", "ssl_u_b", "ssl_i_b",
                          "ssl_mask")}
         for k in range(g):
-            seed = int(self.rng.integers(0, 2 ** 63))
-            u_a, i_a, u_b, i_b, m = ns.native_ssl_batch(
-                lib, state, k, bat_ids, self.batch, self.ssl_num, seed)
-            out["ssl_u_a"][k] = u_a
-            out["ssl_i_a"][k] = i_a
-            out["ssl_u_b"][k] = u_b
-            out["ssl_i_b"][k] = i_b
-            out["ssl_mask"][k] = m
+            if self._native is not None:
+                from sagnn_tpu.data import native_sampler as ns
+                lib, state = self._native
+                u_a, i_a, u_b, i_b, m = ns.native_ssl_batch(
+                    lib, state, k, bat_ids, self.ssl_num, seeds[k],
+                    col_start, col_size)
+                out["ssl_u_a"][k] = u_a
+                out["ssl_i_a"][k] = i_a
+                out["ssl_u_b"][k] = u_b
+                out["ssl_i_b"][k] = i_b
+                out["ssl_mask"][k] = m
+            else:
+                self._ssl_interval_numpy(k, bat_ids, seeds[k], col_start,
+                                         col_size, out)
         return out
 
-    def _ssl_batch_numpy(self, bat_ids: np.ndarray) -> dict:
-        b = self.bundle
-        g = b.graph_num
-        Pssl = self.batch * self.ssl_num
-        u_a = np.zeros((g, Pssl), dtype=np.int32)
-        i_a = np.zeros((g, Pssl), dtype=np.int32)
-        u_b = np.zeros((g, Pssl), dtype=np.int32)
-        i_b = np.zeros((g, Pssl), dtype=np.int32)
-        mask = np.zeros((g, Pssl), dtype=np.float32)
+    def _ssl_interval_numpy(self, k: int, bat_ids: np.ndarray, seed: int,
+                            col_start: int, col_size: int,
+                            out: dict) -> None:
+        """Numpy twin of sampler.cc sample_ssl_batch (same contract; the
+        two backends use different RNGs, so values differ but structure,
+        membership, and slice-consistency are identical)."""
+        csr = self._sub_csrs[k]
+        ids = np.asarray(bat_ids, dtype=np.int64)
+        deg = csr.indptr[ids + 1] - csr.indptr[ids]
+        counts = 2 * np.minimum(self.ssl_num, deg // 2).astype(np.int64)
+        prefix = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(counts, out=prefix[1:])
+        total = int(prefix[-1])
+        half = total // 2
+        col_end = col_start + col_size
 
-        for k in range(g):
-            # reference interleaved layout: (u,pos_j) at even, (u,neg_j) at
-            # odd slots, trimmed to cur, then halved at cur//2. Entry t of
-            # the flat layout = pair (t//2, parity); we build the flat list
-            # then split, matching model.py:328-338 + 186-196 exactly.
-            flat_u, flat_i = self._ssl_flat(k, bat_ids)
-            half = len(flat_u) // 2
-            n = half  # pairs
-            u_a[k, :n] = flat_u[:half]
-            i_a[k, :n] = flat_i[:half]
-            u_b[k, :n] = flat_u[half:half * 2]
-            i_b[k, :n] = flat_i[half:half * 2]
-            mask[k, :n] = 1.0
-        return {"ssl_u_a": u_a, "ssl_i_a": i_a, "ssl_u_b": u_b,
-                "ssl_i_b": i_b, "ssl_mask": mask}
+        def emit(lo, hi, base, du, di):
+            if hi <= lo:
+                return
+            i = max(0, int(np.searchsorted(prefix, lo, "right")) - 1)
+            while i < len(ids) and prefix[i] < hi:
+                p0, c = int(prefix[i]), int(counts[i])
+                i += 1
+                if c == 0:
+                    continue
+                s, e = max(lo, p0), min(hi, p0 + c)
+                if s >= e:
+                    continue
+                u = int(ids[i - 1])
+                rng_u = np.random.default_rng((seed, u))
+                row = csr.indices[csr.indptr[u]:csr.indptr[u + 1]]
+                n = c // 2
+                draws = rng_u.choice(row, c)      # with replacement
+                inter = np.empty(c, np.int32)
+                inter[0::2] = draws[:n]
+                inter[1::2] = draws[n:]
+                du[s - base:e - base] = u
+                di[s - base:e - base] = inter[s - p0:e - p0]
 
-    def _ssl_flat(self, k: int, bat_ids: np.ndarray
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-        rows = self._interval_rows[k]
-        us: List[np.ndarray] = []
-        its: List[np.ndarray] = []
-        for u in bat_ids:
-            posset = rows[u]
-            ssl_n = min(self.ssl_num, len(posset) // 2)
-            if ssl_n == 0:
-                continue
-            draws = self.rng.choice(posset, ssl_n * 2)  # with replacement
-            pos, neg = draws[:ssl_n], draws[ssl_n:]
-            inter = np.empty(ssl_n * 2, dtype=np.int32)
-            inter[0::2] = pos
-            inter[1::2] = neg
-            its.append(inter)
-            us.append(np.full(ssl_n * 2, u, dtype=np.int32))
-        if not us:
-            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
-        return np.concatenate(us), np.concatenate(its)
+        emit(col_start, min(col_end, half), col_start,
+             out["ssl_u_a"][k], out["ssl_i_a"][k])
+        emit(half + col_start, min(half + col_end, total),
+             half + col_start, out["ssl_u_b"][k], out["ssl_i_b"][k])
+        real = max(0, min(col_end, half) - col_start)
+        out["ssl_mask"][k, :real] = 1.0
 
     # -- test ---------------------------------------------------------------
 
-    def test_batch(self, bat_ids: np.ndarray, test_mode: bool = True):
+    def test_batch(self, bat_ids: np.ndarray, test_mode: bool = True,
+                   batch_cap: int | None = None):
         """Returns (user_ids [B], cand_iids [B, C], pos_items [B],
         seq [B, L], seq_mask [B, L], valid [B]) — positives appended LAST in
-        the candidate axis (model.py:403-404)."""
+        the candidate axis (model.py:403-404).
+
+        batch_cap sizes the output arrays (defaults to self.batch). Eval
+        sampling is RNG-free and per-row, so sampling a SLICE of a batch
+        yields exactly the corresponding rows of the full-batch arrays —
+        each host in a multi-process run samples only its own rows."""
         b = self.bundle
-        B = self.batch
+        B = batch_cap or self.batch
         C = self.test_size
         user_ids = np.zeros(B, dtype=np.int32)
         cand = np.zeros((B, C), dtype=np.int32)
@@ -341,7 +358,8 @@ class Sampler:
             valid[i] = 1.0
         return user_ids, cand, pos_items, seq, seq_mask, valid
 
-    def full_sort_batch(self, bat_ids: np.ndarray, test_mode: bool = True):
+    def full_sort_batch(self, bat_ids: np.ndarray, test_mode: bool = True,
+                        batch_cap: int | None = None):
         """Full-catalog evaluation batch (no reference analog — the standard
         strict protocol): the positive is ranked against ALL items except the
         user's own input interactions.
@@ -349,13 +367,14 @@ class Sampler:
         Returns (user_ids [B], pos_items [B], seq [B, L], seq_mask [B, L],
         excl_idx [B, K] int32, valid [B]). `excl_idx` lists the user's
         train-row item ids (their interaction history) minus the positive,
-        padded with num_items (an out-of-range id a mode="drop" device
-        scatter ignores); K is the dataset's max train degree. Host memory
+        padded with num_items (an out-of-range id the device masks by
+        range check); K is the dataset's max train degree. Host memory
         is O(B·max_deg) instead of a dense [B, num_items] bool matrix —
         the difference between 25 MB and 256 GB/batch at 1M items.
+        batch_cap: as in test_batch (per-host slice sampling).
         """
         b = self.bundle
-        B = self.batch
+        B = batch_cap or self.batch
         K = self._max_train_deg
         user_ids = np.zeros(B, dtype=np.int32)
         pos_items = np.zeros(B, dtype=np.int32)

@@ -139,6 +139,100 @@ def topk_descending(scores: jnp.ndarray, k: int,
     return vals, jnp.take_along_axis(idx, order, axis=-1)
 
 
+def chunked_topk(queries: jnp.ndarray, item_table: jnp.ndarray,
+                 num_items: int, k: int, chunk_rows: int = 65_536,
+                 recall_target: float = 1.0,
+                 seen_seq: Optional[jnp.ndarray] = None,
+                 seen_mask: Optional[jnp.ndarray] = None,
+                 score_dtype: Optional[jnp.dtype] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device streaming top-k over a catalog too big to score densely.
+
+    The per-shard decomposition of parallel.serving.sharded_topk run as a
+    lax.scan over catalog chunks on ONE device: each step scores
+    [B, chunk_rows] on the MXU, approx_max_k's the chunk, and folds the
+    winners into a running top-k via an exact [B, 2k] merge — peak memory
+    O(B * chunk_rows) instead of the [B, num_items] score matrix
+    (1 GB per 256-user batch at 1M items f32). Exact at
+    recall_target=1.0: the global top-k is a subset of per-chunk top-ks.
+
+    queries [B, D]; item_table [I, D] (rows past num_items are pad);
+    seen_seq/seen_mask [B, L]: optional per-user already-seen ids to
+    exclude (recommend_top_k's exclude_seen, applied per chunk by local
+    column scatter — never as a dense [B, num_items] mask).
+
+    score_dtype=jnp.bfloat16 selects winners from a bf16 score stream
+    (halves the dominant HBM cost: the [B, chunk] score write + the
+    approx_max_k read-back) and then RESCORES the O(k) winners in f32 —
+    the classic quantized-retrieval + exact-rerank split. Returned scores
+    are exact f32; selection can differ from exact only where two items'
+    true scores agree within bf16 resolution (~3 decimal digits).
+    Returns (scores [B, k], item_ids [B, k]) descending.
+    """
+    B, D = queries.shape
+    I = item_table.shape[0]
+    assert k <= num_items, (k, num_items)
+    n_chunks = -(-I // chunk_rows)
+    Ipad = n_chunks * chunk_rows
+    tbl = item_table
+    if Ipad != I:
+        tbl = jnp.pad(item_table, ((0, Ipad - I), (0, 0)))
+    tbl = tbl.reshape(n_chunks, chunk_rows, D)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_rows
+    k_local = min(k, chunk_rows)
+    exclude = seen_seq is not None
+    if exclude:
+        L = seen_seq.shape[1]
+        scatter_rows = jnp.repeat(jnp.arange(B), L)
+    q_s = queries if score_dtype is None else queries.astype(score_dtype)
+
+    def body(carry, xs):
+        best_v, best_i = carry
+        chunk, gid0 = xs
+        if score_dtype is not None:
+            chunk = chunk.astype(score_dtype)
+        scores = jax.lax.dot_general(
+            q_s, chunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=q_s.dtype)               # [B, chunk]
+        gids = gid0 + jnp.arange(chunk_rows)
+        scores = jnp.where(gids[None, :] < num_items, scores, -jnp.inf)
+        if exclude:
+            # NB: ids from other chunks give NEGATIVE local offsets, which
+            # .at[] would WRAP numpy-style before the mode="drop" OOB check
+            # — mask them explicitly and clip (as sharded_topk's shard_fn
+            # does)
+            loc = seen_seq - gid0
+            hit = ((loc >= 0) & (loc < chunk_rows)
+                   & (seen_mask > 0)).reshape(-1)
+            seen = jnp.zeros((B, chunk_rows), jnp.bool_).at[
+                scatter_rows,
+                jnp.clip(loc, 0, chunk_rows - 1).reshape(-1)].max(hit)
+            scores = jnp.where(seen, -jnp.inf, scores)
+        v, i = jax.lax.approx_max_k(scores, k_local,
+                                    recall_target=recall_target)
+        mv = jnp.concatenate([best_v, v], axis=1)           # [B, k+k_local]
+        mi = jnp.concatenate([best_i, gid0 + i], axis=1)
+        best_v, order = jax.lax.top_k(mv, k)                # exact merge
+        best_i = jnp.take_along_axis(mi, order, axis=-1)
+        return (best_v, best_i), None
+
+    init = (jnp.full((B, k), -jnp.inf, dtype=q_s.dtype),
+            jnp.zeros((B, k), jnp.int32))
+    (vals, ids), _ = jax.lax.scan(body, init, (tbl, starts))
+    if score_dtype is not None:
+        # exact f32 rerank of the O(k) winners: gather their rows and
+        # rescore with the full-precision queries
+        rows = jnp.take(item_table, ids, axis=0)            # [B, k, D]
+        exact = jnp.einsum("bd,bkd->bk", queries, rows)
+        # re-mask: winners that were -inf in the stream (tiny catalogs
+        # where k > real candidates) must stay -inf after rescore
+        exact = jnp.where(jnp.isneginf(vals.astype(jnp.float32)),
+                          -jnp.inf, exact)
+        vals, order = jax.lax.top_k(exact, k)
+        ids = jnp.take_along_axis(ids, order, axis=-1)
+    return vals, ids
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -809,7 +903,8 @@ class SelfGNN:
                         user_ids: jnp.ndarray, seq: jnp.ndarray,
                         seq_mask: jnp.ndarray, k: int = 10,
                         exclude_seen: bool = True,
-                        recall_target: float = 1.0
+                        recall_target: float = 1.0,
+                        chunk_rows: int = 0
                         ) -> Tuple[jax.Array, jax.Array]:
         """Serving path: top-k items over the FULL catalog for a user batch.
 
@@ -823,9 +918,23 @@ class SelfGNN:
         sort-based lax.top_k (measured 16 -> 4.4 ms exact on [256, 41k],
         1.8 ms at recall_target=0.95); recall_target=1.0 (default) is
         exact, lower values trade recall for throughput.
+
+        chunk_rows: 0 = auto (dense scoring up to a 131,072-item catalog,
+        streamed past it); -1 = force dense; >0 = stream the catalog in
+        chunks of this many items (chunked_topk — bounds memory at
+        O(B * chunk_rows) for 1M-item-scale catalogs).
         """
         final_user, final_item, _, _ = self.encode(params, graphs,
                                                    train=False)
+        if chunk_rows == 0:
+            chunk_rows = 65_536 if self.num_items > 131_072 else -1
+        if chunk_rows > 0:
+            queries = self.serving_queries(params, final_user, final_item,
+                                           user_ids, seq, seq_mask)
+            return chunked_topk(queries, final_item, self.num_items, k,
+                                chunk_rows, recall_target,
+                                seen_seq=seq if exclude_seen else None,
+                                seen_mask=seq_mask if exclude_seen else None)
         scores = self.score_all_items(params, final_user, final_item,
                                       user_ids, seq, seq_mask)
         if exclude_seen:

@@ -165,58 +165,85 @@ int64_t sample_train_batch(
   return total;
 }
 
-// SSL batch for one interval graph. Pssl = batch_cap * ssl_num.
-// Returns the number of real pairs.
+// SSL batch for one interval graph, COLUMN-SLICED. Outputs sized
+// [col_size]; a full batch is col_start=0, col_size=batch_cap*ssl_num.
+// Returns the number of real pairs in the requested window.
+//
+// Reference layout: interleaved (u,pos)(u,neg) draws flattened across the
+// batch, then split at the global half — pair column j pairs flat entry j
+// ("a" side) with flat entry half+j ("b" side) (model.py:186-196+328-338).
+//
+// Determinism contract (mirrors sample_train_batch): user u's draws come
+// from Rng(mix(seed, u)) and land at flat positions fixed by the
+// DETERMINISTIC per-user pair counts (n_u = min(ssl_num, deg/2), prefix
+// sum over the batch) — no sequential RNG crosses users, so computing any
+// column window reproduces exactly those columns of a full-batch call.
+// Each host in a multi-process run samples only its own pair columns:
+// host work is O(window users + 2 boundary users), not O(global batch).
 int64_t sample_ssl_batch(
     uint64_t seed,
     const int32_t* bat_ids, int64_t batch,
-    int64_t batch_cap,
     const int64_t* sub_indptr, const int32_t* sub_indices,  // interval CSR
     int32_t ssl_num,
-    // outputs, each [batch_cap * ssl_num]
+    int64_t col_start, int64_t col_size,
+    // outputs, each [col_size]
     int32_t* u_a, int32_t* i_a, int32_t* u_b, int32_t* i_b, float* m) {
-  Rng rng(seed);
-  const int64_t Pssl = batch_cap * (int64_t)ssl_num;
-  std::memset(u_a, 0, sizeof(int32_t) * Pssl);
-  std::memset(i_a, 0, sizeof(int32_t) * Pssl);
-  std::memset(u_b, 0, sizeof(int32_t) * Pssl);
-  std::memset(i_b, 0, sizeof(int32_t) * Pssl);
-  std::memset(m, 0, sizeof(float) * Pssl);
+  std::memset(u_a, 0, sizeof(int32_t) * col_size);
+  std::memset(i_a, 0, sizeof(int32_t) * col_size);
+  std::memset(u_b, 0, sizeof(int32_t) * col_size);
+  std::memset(i_b, 0, sizeof(int32_t) * col_size);
+  std::memset(m, 0, sizeof(float) * col_size);
 
-  // reference layout: interleaved (u,pos)(u,neg) pairs flattened across the
-  // batch, then split in half; with per-user pair counts n_u the flat length
-  // is 2*Σn_u and the halves pair element j with element j+Σn_u. Reproduce
-  // by materializing the flat stream then splitting.
-  // flat stream buffers (stack-allocated up to a cap, else heap)
-  const int64_t max_flat = 2 * Pssl;
-  int32_t* flat_u = new int32_t[max_flat];
-  int32_t* flat_i = new int32_t[max_flat];
-  int64_t cur = 0;
+  int64_t* prefix = new int64_t[batch + 1];
+  prefix[0] = 0;
   for (int64_t i = 0; i < batch; i++) {
     const int32_t u = bat_ids[i];
-    const int64_t r0 = sub_indptr[u], r1 = sub_indptr[u + 1];
-    const int64_t deg = r1 - r0;
+    const int64_t deg = sub_indptr[u + 1] - sub_indptr[u];
     const int64_t n = std::min<int64_t>(ssl_num, deg / 2);
-    for (int64_t j = 0; j < n; j++) {
-      // draws with replacement; reference draws 2n then interleaves
-      // pos_j = draws[j], neg_j = draws[n+j] — equivalent to two draws here
-      const int32_t p = sub_indices[r0 + rng.bounded((uint32_t)deg)];
-      const int32_t q = sub_indices[r0 + rng.bounded((uint32_t)deg)];
-      flat_u[cur] = u; flat_i[cur] = p; cur++;
-      flat_u[cur] = u; flat_i[cur] = q; cur++;
+    prefix[i + 1] = prefix[i] + 2 * n;
+  }
+  const int64_t total = prefix[batch];
+  const int64_t half = total / 2;
+  const int64_t col_end = col_start + col_size;
+  int32_t* dbuf = new int32_t[2 * (int64_t)ssl_num];
+
+  // emit flat positions [lo, hi) into du/di at offset (pos - base)
+  auto emit = [&](int64_t lo, int64_t hi, int64_t base, int32_t* du,
+                  int32_t* di) {
+    if (hi <= lo) return;
+    int64_t i = std::upper_bound(prefix, prefix + batch + 1, lo)
+        - prefix - 1;
+    if (i < 0) i = 0;
+    for (; i < batch && prefix[i] < hi; i++) {
+      const int64_t p0 = prefix[i], c = prefix[i + 1] - p0;
+      if (c == 0) continue;
+      const int64_t s = std::max(lo, p0), e = std::min(hi, p0 + c);
+      if (s >= e) continue;
+      const int32_t u = bat_ids[i];
+      Rng rng(seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(u + 1)));
+      const int64_t r0 = sub_indptr[u];
+      const int64_t deg = sub_indptr[u + 1] - r0;
+      const int64_t n = c / 2;
+      // 2n sequential draws with replacement; interleave like the
+      // reference: flat[2j] = draws[j], flat[2j+1] = draws[n+j]
+      for (int64_t t = 0; t < c; t++)
+        dbuf[t] = sub_indices[r0 + rng.bounded((uint32_t)deg)];
+      for (int64_t p = s; p < e; p++) {
+        const int64_t t = p - p0;
+        du[p - base] = u;
+        di[p - base] = (t % 2 == 0) ? dbuf[t / 2] : dbuf[n + t / 2];
+      }
     }
-  }
-  const int64_t half = cur / 2;
-  for (int64_t j = 0; j < half; j++) {
-    u_a[j] = flat_u[j];
-    i_a[j] = flat_i[j];
-    u_b[j] = flat_u[half + j];
-    i_b[j] = flat_i[half + j];
-    m[j] = 1.0f;
-  }
-  delete[] flat_u;
-  delete[] flat_i;
-  return half;
+  };
+  emit(col_start, std::min(col_end, half), col_start, u_a, i_a);
+  emit(half + col_start, std::min(half + col_end, total),
+       half + col_start, u_b, i_b);
+  const int64_t real = std::max<int64_t>(
+      0, std::min(col_end, half) - col_start);
+  for (int64_t j = 0; j < real; j++) m[j] = 1.0f;
+  delete[] dbuf;
+  delete[] prefix;
+  return real;
 }
 
 }  // extern "C"

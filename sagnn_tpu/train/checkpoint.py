@@ -40,8 +40,13 @@ class CheckpointManager:
     def _config_path(self) -> str:
         return os.path.join(self.dir, "config.json")
 
+    @property
+    def _rng_path(self) -> str:
+        return os.path.join(self.dir, "rng.json")
+
     def save(self, state: Dict, history: MetricsHistory,
-             config=None, block: bool = True) -> None:
+             config=None, block: bool = True,
+             rng_state: Optional[Dict] = None) -> None:
         """config: optional sagnn_tpu.config.Config persisted alongside the
         weights so inference tooling (scripts/recommend.py) can rebuild the
         exact model without the training command line.
@@ -52,6 +57,12 @@ class CheckpointManager:
         and broke exactly when multi-process training landed). Restoring
         onto a different mesh shape works because restore() takes the target
         state's shardings as the template (see restore).
+
+        rng_state: optional JSON-able dict of host RNG state (sampler
+        bit-generator state, trainer PRNG key, next epoch — see
+        Trainer.capture_rng_state) committed alongside the weights so a
+        resumed run replays the exact trajectory of an uninterrupted one
+        (the reference loses all RNG state on resume, model.py:522-527).
 
         block=False returns as soon as the device arrays are staged to host
         (orbax's async writer); the tmp->final rename and history/config
@@ -72,7 +83,7 @@ class CheckpointManager:
         self._ckpt.save(tmp, state)          # collective when multi-process
         # snapshot the sidecars now: the trainer keeps appending to history
         self._pending = ({k: list(v) for k, v in history.data.items()},
-                         config)
+                         config, rng_state)
         if block:
             self.finalize()
 
@@ -82,7 +93,7 @@ class CheckpointManager:
         if self._pending is None:
             return
         import shutil
-        history_data, config = self._pending
+        history_data, config, rng_state = self._pending
         self._pending = None
         path = self._state_dir
         tmp = path + ".tmp"
@@ -101,9 +112,21 @@ class CheckpointManager:
                 import dataclasses
                 with open(self._config_path, "w") as f:
                     json.dump(dataclasses.asdict(config), f, indent=1)
+            if rng_state is not None:
+                with open(self._rng_path, "w") as f:
+                    json.dump(rng_state, f)
         if multiproc:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("ckpt_committed")
+
+    def load_rng(self) -> Optional[Dict]:
+        """The committed host-RNG sidecar of the last save (or None for
+        checkpoints predating trajectory-exact resume)."""
+        self.finalize()
+        if not os.path.exists(self._rng_path):
+            return None
+        with open(self._rng_path) as f:
+            return json.load(f)
 
     def load_config(self):
         """Rebuild the Config saved alongside the checkpoint (or None)."""

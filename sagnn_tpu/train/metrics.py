@@ -46,6 +46,22 @@ def topk_metrics(scores: jnp.ndarray, ks=(1, 5, 10, 15, 20),
     return out
 
 
+def metrics_from_ranks(ranks: jnp.ndarray,
+                       valid: jnp.ndarray | None = None,
+                       ks=(1, 5, 10, 15, 20)) -> Dict[str, jnp.ndarray]:
+    """Summed HR/NDCG per K from precomputed positive ranks [B] — the
+    shared tail of every ranking protocol (candidate, full-sort dense,
+    full-sort streaming): hit@K = rank < K, ndcg@K = 1/log2(rank+2)."""
+    ndcg_all = 1.0 / jnp.log2(ranks.astype(jnp.float32) + 2.0)
+    v = valid if valid is not None else jnp.ones_like(ndcg_all)
+    out = {}
+    for k in ks:
+        hit = (ranks < k).astype(jnp.float32) * v
+        out[f"HR@{k}"] = jnp.sum(hit)
+        out[f"NDCG@{k}"] = jnp.sum(ndcg_all * hit)
+    return out
+
+
 def full_sort_metrics(scores: jnp.ndarray, pos_items: jnp.ndarray,
                       valid: jnp.ndarray | None = None,
                       ks=(1, 5, 10, 15, 20)) -> Dict[str, jnp.ndarray]:
@@ -60,14 +76,80 @@ def full_sort_metrics(scores: jnp.ndarray, pos_items: jnp.ndarray,
                                 axis=1)                       # [B, 1]
     # >= counts the positive itself once — subtract it back out
     ranks = (jnp.sum(scores >= s_pos, axis=1) - 1).astype(jnp.int32)
-    ndcg_all = 1.0 / jnp.log2(ranks.astype(jnp.float32) + 2.0)
-    v = valid if valid is not None else jnp.ones_like(ndcg_all)
-    out = {}
-    for k in ks:
-        hit = (ranks < k).astype(jnp.float32) * v
-        out[f"HR@{k}"] = jnp.sum(hit)
-        out[f"NDCG@{k}"] = jnp.sum(ndcg_all * hit)
-    return out
+    return metrics_from_ranks(ranks, valid=valid, ks=ks)
+
+
+def streaming_positive_ranks(queries: jnp.ndarray, item_table: jnp.ndarray,
+                             pos_items: jnp.ndarray, excl_idx: jnp.ndarray,
+                             num_items: int,
+                             chunk_items: int = 65_536) -> jnp.ndarray:
+    """Full-catalog positive ranks WITHOUT materializing [B, num_items].
+
+    The rank is all the metrics need: rank(pos) = #{catalog items j not
+    excluded, j != pos : s_j >= s_pos}. A lax.scan walks catalog chunks
+    accumulating count(q @ chunk^T >= s_pos) with this chunk's excluded
+    columns (scattered from excl_idx, the same per-shard decomposition
+    sharded_topk uses) and the positive's own column masked out — peak
+    memory is O(B * chunk_items) instead of O(B * num_items).
+
+    queries    [B, D]   per-user head vectors (SelfGNN.serving_queries)
+    item_table [I, D]   catalog encodings (final_item)
+    pos_items  [B]      positive item id per row
+    excl_idx   [B, K]   per-user excluded item ids, pad = num_items
+                        (never contains the positive — Sampler contract)
+
+    Tie-exact vs the dense full_sort_metrics rank: s_pos is EXTRACTED from
+    the same chunk matmuls the counts compare against (a first scan pass
+    picks the positive's own matmul element), so an exactly-equal item row
+    compares equal here too — a separately-computed dot can differ by
+    1 ulp and flip a >= tie. The matmul runs twice; at D=64 it is stream-
+    bound and a small fraction of the eval epoch, a fair price for a
+    bitwise-identical protocol. Exclusion masks columns by ID before
+    counting, exactly like the dense path's -inf scatter.
+    """
+    B, D = queries.shape
+    I = item_table.shape[0]
+    K = excl_idx.shape[1]
+    n_chunks = -(-I // chunk_items)
+    Ipad = n_chunks * chunk_items
+    tbl = item_table
+    if Ipad != I:
+        tbl = jnp.pad(item_table, ((0, Ipad - I), (0, 0)))
+    tbl = tbl.reshape(n_chunks, chunk_items, D)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_items
+    scatter_rows = jnp.repeat(jnp.arange(B), K)
+
+    def extract(s_pos, xs):
+        # pass 1: pull s_pos out of the chunk that owns the positive
+        chunk, gid0 = xs
+        s = queries @ chunk.T                                 # [B, chunk]
+        loc = pos_items - gid0
+        in_range = (loc >= 0) & (loc < chunk_items)
+        val = jnp.take_along_axis(
+            s, jnp.clip(loc, 0, chunk_items - 1)[:, None], axis=1)[:, 0]
+        return jnp.where(in_range, val, s_pos), None
+
+    s_pos, _ = jax.lax.scan(extract, jnp.full(B, -jnp.inf), (tbl, starts))
+
+    def body(acc, xs):
+        chunk, gid0 = xs
+        s = queries @ chunk.T                                 # [B, chunk]
+        gids = gid0 + jnp.arange(chunk_items)
+        keep = (gids[None, :] < num_items) \
+            & (gids[None, :] != pos_items[:, None])
+        # this chunk's excluded columns. NB: ids from other chunks give
+        # NEGATIVE local offsets, which .at[] would WRAP numpy-style
+        # before any OOB check — mask explicitly and clip
+        loc = excl_idx - gid0
+        ok = ((loc >= 0) & (loc < chunk_items)).reshape(-1)
+        excluded = jnp.zeros((B, chunk_items), jnp.bool_).at[
+            scatter_rows,
+            jnp.clip(loc, 0, chunk_items - 1).reshape(-1)].max(ok)
+        cnt = jnp.sum((s >= s_pos[:, None]) & keep & ~excluded, axis=1)
+        return acc + cnt.astype(jnp.int32), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros(B, jnp.int32), (tbl, starts))
+    return total
 
 
 @dataclass

@@ -144,7 +144,9 @@ class Trainer:
         self.cfg = cfg
         self.bundle = bundle
         if cfg.model.spmm_backend == "ring":
-            assert mesh is not None, "spmm_backend='ring' requires a mesh"
+            assert mesh is not None, (
+                "spmm_backend='ring' requires a mesh (docs/API.md "
+                "capability matrix, note 5)")
         self.model = SelfGNN(cfg.model, bundle.num_users, bundle.num_items,
                              mesh=mesh)
         self.graph_blocks = compile_interval_graphs(
@@ -155,7 +157,8 @@ class Trainer:
         if edge_drop:
             assert cfg.model.spmm_backend in ("xla", "pallas"), (
                 "edge_dropout_keep < 1 needs the xla or pallas backend "
-                "(ring weights are host-bucketed)")
+                "(ring weights are host-bucketed; see docs/API.md "
+                "backend capability matrix, note 3)")
         ew_np = None  # host-side [2, g, E]; device copy only where consumed
         if weighted:
             from sagnn_tpu.data.graph import edge_weights
@@ -173,14 +176,15 @@ class Trainer:
             self.graphs["edge_weights"] = jnp.asarray(ew_np)
         if cfg.model.edge_attention:
             assert cfg.model.spmm_backend == "pallas", (
-                "edge_attention requires spmm_backend='pallas'")
+                "edge_attention requires spmm_backend='pallas' (docs/API.md "
+                "capability matrix, note 4)")
             assert not weighted and not edge_drop, (
                 "edge_attention is exclusive with edge_norm/edge_dropout "
-                "(attention IS the edge weighting)")
+                "(attention IS the edge weighting; docs/API.md matrix)")
         if cfg.model.seq_parallel:
             assert cfg.model.per_token_seq_attention, (
                 "seq_parallel shards the per-token sequence attention; "
-                "enable per_token_seq_attention")
+                "enable per_token_seq_attention (docs/API.md matrix)")
             assert mesh is not None, "seq_parallel requires a mesh"
             P_ = mesh.shape["model"]
             assert cfg.model.pos_length % P_ == 0, (
@@ -193,7 +197,8 @@ class Trainer:
             assert not weighted and not edge_drop \
                 and not cfg.model.edge_attention, (
                     "spmm_src_shard_rows > 0 supports only unweighted "
-                    "parity propagation")
+                    "parity propagation (docs/API.md capability "
+                    "matrix, note 1)")
             gb = self.graph_blocks
             ss = build_stacked_plans_src_sharded(
                 gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt, gb.num_users,
@@ -398,7 +403,23 @@ class Trainer:
 
     def _full_sort_eval_impl(self, params, final_user, final_item, user_ids,
                              pos_items, seq, seq_mask, excl_idx, valid):
-        from sagnn_tpu.train.metrics import full_sort_metrics
+        from sagnn_tpu.train.metrics import (full_sort_metrics,
+                                             metrics_from_ranks,
+                                             streaming_positive_ranks)
+        chunk = self.cfg.train.full_sort_chunk
+        num_items = final_item.shape[0]
+        if chunk == 0:
+            # auto: dense [B, I] scores up to 128k items (~134 MB/batch at
+            # B=256), streamed past it (1 GB/batch at 1M items)
+            chunk = 65_536 if num_items > 131_072 else -1
+        if chunk > 0:
+            queries = self.model.serving_queries(
+                params, final_user, final_item, user_ids, seq, seq_mask)
+            ranks = streaming_positive_ranks(
+                queries, final_item, pos_items, excl_idx, num_items,
+                chunk_items=chunk)
+            return metrics_from_ranks(ranks, valid=valid,
+                                      ks=(1, 5, 10, 15, 20))
         scores = self.model.score_all_items(
             params, final_user, final_item, user_ids, seq, seq_mask)
         # excl_idx: [B, K] per-user history item ids, pad = num_items —
@@ -517,6 +538,27 @@ class Trainer:
                for loc, s, gs in zip(l_leaves, s_leaves, shapes)]
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    # -- trajectory-exact resume (no reference analog: the reference loses
+    # all RNG state on resume, model.py:522-527) --------------------------
+
+    def capture_rng_state(self, next_epoch: int) -> Dict:
+        """JSON-able snapshot of every host RNG the training trajectory
+        depends on: the sampler's bit-generator (epoch permutations, batch
+        seeds, SSL draws) and the trainer's JAX key (LSTM dropout stream).
+        Saved alongside checkpoints so a preempted-and-resumed run replays
+        the uninterrupted run bit-for-bit from `next_epoch`."""
+        return {
+            "sampler": self.sampler.rng.bit_generator.state,
+            "jax_key": np.asarray(self.rng).tolist(),
+            "epoch": int(next_epoch),
+        }
+
+    def restore_rng_state(self, rs: Dict) -> int:
+        """Install a capture_rng_state snapshot; returns its epoch."""
+        self.sampler.rng.bit_generator.state = rs["sampler"]
+        self.rng = jnp.asarray(np.asarray(rs["jax_key"], np.uint32))
+        return int(rs["epoch"])
+
     def throughput_stats(self, window: int | None = None) -> Dict[str, float]:
         """Step-time and propagation edges/s observability (SURVEY.md §5).
 
@@ -560,22 +602,46 @@ class Trainer:
         final_user, final_item = self._encode_eval(self.state["params"],
                                                    self.graphs)
 
+        # multi-process eval scales like training: each host samples only
+        # its slice of the batch rows and lifts them into globally-sharded
+        # arrays; metric sums reduce on device (GSPMD inserts the psum), so
+        # host AND device eval work are 1/N per host (round-2 replicated
+        # every batch on every process)
+        multiproc = self.mesh is not None and jax.process_count() > 1
+        if multiproc:
+            from sagnn_tpu.parallel.launch import host_batch_slice
+            h_start, h_size = host_batch_slice(cfg.train.batch)
+            assert dump_uid < 0, "--uid debug dump is single-process only"
+
+        def lift(arrs):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            B = cfg.train.batch
+            out = []
+            for a in arrs:
+                spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+                sh = NamedSharding(self.mesh, spec)
+                out.append(jax.make_array_from_process_local_data(
+                    sh, a, (B,) + a.shape[1:]))
+            return tuple(out)
+
         def sample(i):
             bat = ids[i * cfg.train.batch:(i + 1) * cfg.train.batch]
+            cap = None
+            if multiproc:
+                # rows past len(bat) zero-pad with valid=0 on either path,
+                # so slicing the (possibly short) tail batch stays exact
+                bat = bat[h_start:h_start + h_size]
+                cap = h_size
             if full_sort:
                 arrs = self.sampler.full_sort_batch(
-                    bat, test_mode=cfg.train.test_mode)
+                    bat, test_mode=cfg.train.test_mode, batch_cap=cap)
             else:
                 user_ids, cand, _pos, seq, seq_mask, valid = \
                     self.sampler.test_batch(
-                        bat, test_mode=cfg.train.test_mode)
+                        bat, test_mode=cfg.train.test_mode, batch_cap=cap)
                 arrs = (user_ids, cand, seq, seq_mask, valid)
-            if self.mesh is not None and jax.process_count() > 1:
-                # identical eval arrays on every process (same sampler
-                # stream) -> replicate over the global mesh
-                rep = self._rules.replicated
-                return tuple(jax.device_put(np.asarray(a), rep)
-                             for a in arrs)
+            if multiproc:
+                return lift(arrs)
             return tuple(jnp.asarray(a) for a in arrs)
 
         # batch i+1 is sampled while batch i scores on device; per-batch
@@ -620,7 +686,14 @@ class Trainer:
 
         def _handler(signum, _frame):
             log(f"signal {signum}: writing preemption checkpoint")
-            self.ckpt.save(self.state, self.history, self.cfg)
+            # RNG snapshot from the START of the in-progress epoch: resume
+            # re-enters that epoch drawing the same batches the interrupted
+            # attempt drew. (Params are preemption-time, so a mid-epoch
+            # kill resumes safely but not bit-exactly — exact replay holds
+            # for saves made at epoch boundaries, i.e. the best-NDCG path.)
+            self.ckpt.save(self.state, self.history, self.cfg,
+                           rng_state=getattr(self, "_epoch_rng_snapshot",
+                                             None))
             raise SystemExit(128 + signum)
 
         signal.signal(signal.SIGTERM, _handler)
@@ -636,6 +709,12 @@ class Trainer:
                 self.state = state
                 self.history = hist
                 st_epoch = self.ckpt.resume_epoch(hist, cfg.train.tst_epoch)
+                rs = self.ckpt.load_rng()
+                if rs is not None:
+                    # trajectory-exact resume: restore the host RNGs and
+                    # the precise epoch; the history-length formula above
+                    # stays as the fallback for old checkpoints
+                    st_epoch = self.restore_rng_state(rs)
                 log(f"Model Loaded, resuming at epoch {st_epoch}")
 
         max_ndcg, max_res, max_epoch = 0.0, {}, 0
@@ -662,6 +741,9 @@ class Trainer:
         max_ndcg, max_res, max_epoch = 0.0, {}, 0
         for ep in range(st_epoch, cfg.train.epoch):
             test = (ep % cfg.train.tst_epoch == 0)
+            # for the preemption handler: the RNG state this epoch STARTED
+            # with (see install_preemption_handler)
+            self._epoch_rng_snapshot = self.capture_rng_state(ep)
             tr = self.train_epoch()
             # failure detection (SURVEY.md §5: the reference has none): a
             # non-finite epoch loss rolls the run back to the last good
@@ -671,6 +753,9 @@ class Trainer:
                 if state is not None:
                     self.state = state
                     self.history = hist
+                    # deliberately NOT restoring RNG state here: replaying
+                    # the saved trajectory would hit the same NaN again —
+                    # the advanced RNG gives the retry different batches
                     log(f"NaN guard: non-finite loss at epoch {ep}; "
                         f"restored last checkpoint and continuing")
                     continue
@@ -695,8 +780,10 @@ class Trainer:
                     {"HR": te["HR"], "NDCG": te["NDCG"]}))
                 if te["NDCG"] > max_ndcg:  # best-NDCG save policy
                     # async: the disk write overlaps the next epochs; the
-                    # commit happens at the next save/restore/finalize
+                    # commit happens at the next save/restore/finalize.
+                    # RNG sidecar makes a resume from here trajectory-exact
                     self.ckpt.save(self.state, self.history, self.cfg,
-                                   block=False)
+                                   block=False,
+                                   rng_state=self.capture_rng_state(ep + 1))
                     max_ndcg, max_res, max_epoch = te["NDCG"], te, ep
         return max_ndcg, max_res, max_epoch

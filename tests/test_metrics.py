@@ -4,8 +4,11 @@
 import jax.numpy as jnp
 import numpy as np
 
-from sagnn_tpu.train.metrics import (full_sort_metrics, positive_ranks,
-                                     topk_metrics)
+import jax
+
+from sagnn_tpu.train.metrics import (full_sort_metrics, metrics_from_ranks,
+                                     positive_ranks,
+                                     streaming_positive_ranks, topk_metrics)
 from tests.reference_oracle import hr_ndcg_reference
 
 
@@ -77,6 +80,48 @@ def test_full_sort_matches_brute_force():
                 ndcg += 1.0 / np.log2(rank + 2)
         np.testing.assert_allclose(float(got[f"HR@{k}"]), hit, atol=1e-6)
         np.testing.assert_allclose(float(got[f"NDCG@{k}"]), ndcg, rtol=1e-5)
+
+
+def test_streaming_ranks_match_dense_full_sort():
+    """streaming_positive_ranks == the dense [B, I] full-sort rank, across
+    exclusions, a catalog that does not divide the chunk size, AND exact
+    score ties (duplicated encoding rows — cold items after propagation
+    share identical embeddings, so the tie path is real)."""
+    rng = np.random.RandomState(11)
+    B, I, D, K = 12, 103, 16, 8
+    table = rng.randn(I, D).astype(np.float32)
+    # duplicate blocks: items 0..9 identical to items 50..59
+    table[50:60] = table[0:10]
+    queries = rng.randn(B, D).astype(np.float32)
+    pos = rng.randint(0, I, B).astype(np.int32)
+    pos[:4] = np.arange(4)  # positives inside the duplicated block
+    excl = np.full((B, K), I, np.int32)
+    for b in range(B):
+        cands = rng.permutation(I)[:rng.randint(0, K)]
+        cands = cands[cands != pos[b]]
+        excl[b, :len(cands)] = cands
+    # exclude a duplicate-of-positive for some rows (score tie + exclusion)
+    excl[0, K - 1] = pos[0] + 50
+
+    scores = queries @ table.T
+    rows = np.arange(B)[:, None]
+    masked = scores.copy()
+    for b in range(B):
+        masked[b, excl[b][excl[b] < I]] = -np.inf
+    dense = full_sort_metrics(jnp.asarray(masked), jnp.asarray(pos),
+                              ks=(1, 5, 10))
+    for chunk in (16, 50, 103, 256):
+        ranks = streaming_positive_ranks(
+            jnp.asarray(queries), jnp.asarray(table), jnp.asarray(pos),
+            jnp.asarray(excl), I, chunk_items=chunk)
+        got = metrics_from_ranks(ranks, ks=(1, 5, 10))
+        for k in (1, 5, 10):
+            np.testing.assert_allclose(float(got[f"HR@{k}"]),
+                                       float(dense[f"HR@{k}"]), atol=1e-6,
+                                       err_msg=f"chunk={chunk} k={k}")
+            np.testing.assert_allclose(float(got[f"NDCG@{k}"]),
+                                       float(dense[f"NDCG@{k}"]), rtol=1e-5,
+                                       err_msg=f"chunk={chunk} k={k}")
 
 
 def test_full_sort_agrees_with_candidate_protocol_on_full_catalog():

@@ -156,3 +156,66 @@ def test_train_batch_slice_matches_full(bundle, backend):
     np.testing.assert_array_equal(full.ssl_u_a[:, :4 * 4], s0.ssl_u_a)
     np.testing.assert_array_equal(full.ssl_i_b[:, 4 * 4:], s1.ssl_i_b)
     np.testing.assert_array_equal(full.ssl_mask[:, :4 * 4], s0.ssl_mask)
+
+
+@pytest.mark.parametrize("backend", ["numpy", "native"])
+def test_ssl_batch_window_matches_full(bundle, backend):
+    """Any SSL pair-column window equals those columns of the full-batch
+    arrays (per-user-seeded draws + deterministic count prefix — the
+    multi-process dedup contract, VERDICT r2 #9), at every granularity
+    including windows that split a user's draw range."""
+    if backend == "native":
+        from sagnn_tpu.data import native_sampler as ns
+        if ns.load_library() is None:
+            pytest.skip("native sampler not built")
+    mk = lambda: Sampler(bundle=bundle, batch=8, samp_num=6, ssl_num=4,
+                         pred_num=5, pos_length=10, test_size=12, seed=7,
+                         backend=backend)
+    bat = np.arange(8)
+    full = mk().ssl_batch(bat)
+    Pssl = 8 * 4
+    for start, size in ((0, Pssl), (0, 8), (8, 8), (3, 7), (13, 11),
+                        (Pssl - 4, 4)):
+        got = mk().ssl_batch(bat, ssl_cols=(start, size))
+        for key in full:
+            np.testing.assert_array_equal(
+                got[key], full[key][:, start:start + size],
+                err_msg=f"{key} window ({start},{size})")
+
+
+def test_ssl_slice_host_cost_scales(bundle):
+    """The slice path must touch only the users whose draws land in the
+    window (plus boundary users). Summed over N disjoint windows the
+    per-user RNG constructions are therefore <= 2x one full pass (each
+    user has an a-side owner and a b-side owner) — i.e. aggregate host
+    work stays O(batch), split across hosts, instead of N full passes
+    (VERDICT r2 #9). Counted via a probe on np.random.default_rng."""
+    calls = []
+    orig = np.random.default_rng
+
+    def probe(seed=None):
+        calls.append(seed)
+        return orig(seed)
+
+    s = Sampler(bundle=bundle, batch=40, samp_num=6, ssl_num=4, pred_num=5,
+                pos_length=10, test_size=12, seed=7, backend="numpy")
+    bat = np.arange(40)
+    np.random.default_rng = probe
+    try:
+        calls.clear()
+        s.ssl_batch(bat)
+        n_full = len(calls)
+        per_window = []
+        for w in range(4):                      # 4 disjoint 1/4 windows
+            calls.clear()
+            s.ssl_batch(bat, ssl_cols=(w * 40, 40))
+            per_window.append(len(calls))
+    finally:
+        np.random.default_rng = orig
+    assert n_full > 0
+    g = bundle.graph_num
+    # every window does strictly less work than a full pass...
+    assert all(n < n_full for n in per_window)
+    # ...and the N hosts TOGETHER stay within 2x one full pass (a-side +
+    # b-side owners) plus <=2 boundary users per window side per interval
+    assert sum(per_window) <= 2 * n_full + 4 * 2 * 2 * g
