@@ -68,6 +68,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--spmm_chunk_size", type=int,
                    help="pallas plan edges/chunk (default 0 = auto-select "
                         "from the graph's block-fill histogram)")
+    p.add_argument("--spmm_fold_gather", action="store_true", default=None,
+                   help="row-folded exact-f32 gathers: read node tables "
+                        "through an [N/2, 2D] view (zero-lane-pad relayout "
+                        "copy, the 1M-node exact-mode memory lever); "
+                        "in-kernel half-select")
     p.add_argument("--spmm_src_shard_rows", type=int,
                    help="source-sharded pallas SpMM for huge node tables "
                         "(0 = auto past the ~32 MB gather cliff, -1 = off, "

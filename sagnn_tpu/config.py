@@ -52,6 +52,15 @@ class ModelConfig:
     # cliff); -1 = force off; >0 = explicit rows per source shard.
     # Unweighted parity propagation only (no edge_norm/dropout/attention).
     spmm_src_shard_rows: int = 0
+    # ROW-FOLDED gathers for exact-f32 mode: propagation gathers read the
+    # node table through an [N/2, 2D] view whose feature-minor relayout
+    # copy has ZERO lane padding (the plain [N, 64] f32 copy pads 2.0x —
+    # the 1M-node exact-mode memory deficit, DESIGN.md §8); the half-
+    # select happens inside the Pallas kernel (VMEM mux — an XLA-level
+    # select costs a full extra HBM pass, probe_rowfold.py). Applies to
+    # the unweighted pallas + src-sharded paths when node counts are
+    # even; no-op in bf16/weighted modes.
+    spmm_fold_gather: bool = False
     # Q2 variant: sym-sqrt degree-normalized propagation (what the
     # reference's transToLsts(norm=True) computes before the int32 cast
     # destroys it, DataHandler.py:50-59). None = parity (unweighted).

@@ -445,7 +445,8 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
 
         def hop(x, fwd, bwd, fnb, fnt, bnb, bnt, nsrc):
             agg = spmm_src_sharded(x, fwd, bwd, fnb, fnt, sr, bnb, bnt, sr,
-                                   nsrc, cfg.spmm_exact)
+                                   nsrc, cfg.spmm_exact,
+                                   cfg.spmm_fold_gather)
             return jnp.maximum(leaky * agg, agg)
 
         def one_interval(_, inp):
@@ -485,7 +486,7 @@ def _interval_propagation(params: Dict, graphs: Dict[str, jnp.ndarray],
                                     bwd_nb, bwd_nt, cfg.spmm_exact)
             else:
                 agg = spmm(x, fwd, bwd, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
-                           cfg.spmm_exact)
+                           cfg.spmm_exact, cfg.spmm_fold_gather)
             return jnp.maximum(leaky * agg, agg)
 
         def one_interval(_, inp):

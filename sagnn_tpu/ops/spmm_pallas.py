@@ -216,7 +216,7 @@ def plan_spmm(src: np.ndarray, tgt: np.ndarray, num_tgt: int,
 
 
 def _segsum_kernel(first_ref, blk_ref, tl_ref, *refs, exact: bool,
-                   weighted: bool, zero_init: bool):
+                   weighted: bool, zero_init: bool, folded: bool = False):
     """One chunk: out_block += one_hot(tgt_local)^T @ messages.
 
     exact=True forces 3-pass f32 MXU multiplication (the TPU MXU otherwise
@@ -228,10 +228,20 @@ def _segsum_kernel(first_ref, blk_ref, tl_ref, *refs, exact: bool,
     pre-scale of the message stream).
 
     zero_init=True marks the aliased-zeros-input variant (sliced path):
-    blocks a slice never visits keep the zeros of the aliased input."""
+    blocks a slice never visits keep the zeros of the aliased input.
+
+    folded=True: messages arrive ROW-FOLDED [C, 2D] (two logical D-wide
+    node rows per gathered row — the caller gathered src//2 from an
+    [N/2, 2D] view, whose T(8,128) relayout copy carries ZERO lane
+    padding at D=64 f32, vs 2.0x for [N, 64] rows); a parity operand
+    selects each slot's half HERE, in VMEM, where it costs a VPU mux
+    instead of the separate [E, 2D]-read/[E, D]-write HBM pass that made
+    the XLA-level select 1.4x slower (scripts/probe_rowfold.py)."""
     del blk_ref  # consumed by the index maps
     if weighted:
         w_ref, refs = refs[0], refs[1:]
+    if folded:
+        par_ref, refs = refs[0], refs[1:]
     msg_ref = refs[0]
     out_ref = refs[-1]  # refs[-2] when zero_init is the aliased input
     del zero_init
@@ -249,8 +259,13 @@ def _segsum_kernel(first_ref, blk_ref, tl_ref, *refs, exact: bool,
         oh_t = jnp.where(hot, w_ref[0], 0).astype(msg_ref.dtype)
     else:
         oh_t = hot.astype(msg_ref.dtype)
+    msgs = msg_ref[:]
+    if folded:
+        d = out_ref.shape[-1]
+        par = par_ref[0].reshape(-1, 1)               # [C, 1] int32
+        msgs = jnp.where(par == 1, msgs[:, d:], msgs[:, :d])
     out_ref[:] += jax.lax.dot_general(
-        oh_t, msg_ref[:],
+        oh_t, msgs,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=(jax.lax.Precision.HIGHEST if exact
@@ -263,6 +278,7 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                    num_blocks: int, exact: bool = True,
                    zero_init: bool = False,
                    weights: jax.Array | None = None,
+                   parity: jax.Array | None = None,
                    vma: tuple | None = None) -> jax.Array:
     """messages: [NC*C, D] chunk-ordered; returns [(num_blocks+1)*R, D].
 
@@ -273,14 +289,20 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
     weights: optional [NC*C] f32 per-edge weights in chunk order (weighted
     SpMM; pad slots must carry weight 0 or a pad tgt_local — both hold here).
 
+    parity: optional [NC*C] int32 — ROW-FOLDED mode: messages are [NC*C, 2D]
+    (gathered src//2 from an [N/2, 2D] table view) and each slot's D-wide
+    half is selected in-kernel by parity (src & 1). Output stays [., D].
+
     vma: mesh axis names the output varies over — REQUIRED when calling
     from inside shard_map (check_vma demands explicit pallas out vma; the
     aliased zeros input is pcast to match).
     """
     nc = tgt_local.shape[0]
     cs = tgt_local.shape[-1]
-    d = messages.shape[-1]
+    dm = messages.shape[-1]
     weighted = weights is not None
+    folded = parity is not None
+    d = dm // 2 if folded else dm
     tgt_local = tgt_local.reshape(nc, 1, cs)
     out_rows = (num_blocks + 1) * R
     in_specs = [
@@ -293,7 +315,12 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
                                      lambda c, first, blk: (c, 0, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(weights.astype(jnp.float32).reshape(nc, 1, cs))
-    in_specs.append(pl.BlockSpec((cs, d), lambda c, first, blk: (c, 0),
+    if folded:
+        in_specs.append(pl.BlockSpec((1, 1, cs),
+                                     lambda c, first, blk: (c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(parity.astype(jnp.int32).reshape(nc, 1, cs))
+    in_specs.append(pl.BlockSpec((cs, dm), lambda c, first, blk: (c, 0),
                                  memory_space=pltpu.VMEM))
     inputs.append(messages)
     aliases = {}
@@ -314,7 +341,7 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
     )
     out = pl.pallas_call(
         functools.partial(_segsum_kernel, exact=exact, weighted=weighted,
-                          zero_init=zero_init),
+                          zero_init=zero_init, folded=folded),
         grid_spec=grid_spec,
         # CPU (tests, CI meshes) runs the kernel in interpreter mode
         interpret=jax.default_backend() == "cpu",
@@ -324,7 +351,7 @@ def _segsum_pallas(messages: jax.Array, tgt_local: jax.Array,
         input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * nc * cs * R * d,
-            bytes_accessed=nc * cs * (d * 4 + 4)
+            bytes_accessed=nc * cs * (dm * 4 + 4)
             + (num_blocks + 1) * R * d * 4,
             transcendentals=0,
         ),
@@ -336,7 +363,8 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
                chunk_block: jax.Array, chunk_first: jax.Array,
                num_blocks: int, num_tgt: int,
                exact: bool = True, num_slices: int = 1,
-               weights: jax.Array | None = None) -> jax.Array:
+               weights: jax.Array | None = None,
+               folded: bool = False) -> jax.Array:
     """out[t] = Σ_{e: tgt[e]=t} w[e]·x[src[e]] — XLA gather + Pallas segsum.
 
     exact=False is the throughput path: the node table is cast to bf16
@@ -347,17 +375,35 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
     they ride the one-hot operand, so the weighted SpMM costs the same as
     the unweighted one.
 
+    folded=True (exact/unweighted, even row count): gather from the
+    [N/2, 2D] row-folded view of x — its feature-minor relayout copy has
+    ZERO lane padding at D=64 f32 (the plain [N, 64] copy pads 2.0x; the
+    half-select happens in-kernel, see _segsum_kernel). Silently ignored
+    when the preconditions don't hold, so callers can pass the config
+    flag unconditionally.
+
     num_slices>1 is the out-of-core path for huge graphs: only one slice's
     message stream is live at a time (a lax.scan over slices sums partial
     outputs). The plan MUST have been built with the same num_slices so
     slice-leading chunks re-zero their blocks.
     """
+    fold = (folded and exact and weights is None and x.shape[0] % 2 == 0)
     if not exact:
         x = x.astype(jnp.bfloat16)
+    d = x.shape[-1]
+    if fold:
+        xf = x.reshape(x.shape[0] // 2, 2 * d)
     if num_slices == 1:
-        messages = jnp.take(x, src, axis=0)  # [NC*C, D], bandwidth-bound
-        out = _segsum_pallas(messages, tgt_local, chunk_block, chunk_first,
-                             num_blocks, exact=exact, weights=weights)
+        if fold:
+            messages = jnp.take(xf, src // 2, axis=0)    # [NC*C, 2D]
+            out = _segsum_pallas(messages, tgt_local, chunk_block,
+                                 chunk_first, num_blocks, exact=exact,
+                                 parity=src & 1)
+        else:
+            messages = jnp.take(x, src, axis=0)  # [NC*C, D], bandwidth-bound
+            out = _segsum_pallas(messages, tgt_local, chunk_block,
+                                 chunk_first, num_blocks, exact=exact,
+                                 weights=weights)
         return out[:num_tgt]
 
     nc = tgt_local.shape[0]
@@ -373,13 +419,18 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
 
     def body(acc, sl):
         s, tl, cb, cf, w = sl
-        messages = jnp.take(x, s, axis=0)
-        out = _segsum_pallas(messages, tl, cb, cf, num_blocks, exact=exact,
-                             zero_init=True,
-                             weights=None if weights is None else w)
+        if fold:
+            messages = jnp.take(xf, s // 2, axis=0)
+            out = _segsum_pallas(messages, tl, cb, cf, num_blocks,
+                                 exact=exact, zero_init=True, parity=s & 1)
+        else:
+            messages = jnp.take(x, s, axis=0)
+            out = _segsum_pallas(messages, tl, cb, cf, num_blocks,
+                                 exact=exact, zero_init=True,
+                                 weights=None if weights is None else w)
         return acc + out, None
 
-    init = jnp.zeros(((num_blocks + 1) * R, x.shape[-1]), jnp.float32)
+    init = jnp.zeros(((num_blocks + 1) * R, d), jnp.float32)
     out, _ = jax.lax.scan(body, init, xs)
     return out[:num_tgt]
 
@@ -403,29 +454,36 @@ def _float0s(tree):
         lambda a: np.zeros(a.shape, jax.dtypes.float0), tree)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def spmm(x: jax.Array, fwd_arrays: Tuple, bwd_arrays: Tuple,
          fwd_nb: int, fwd_nt: int, bwd_nb: int, bwd_nt: int,
-         exact: bool = True) -> jax.Array:
+         exact: bool = True, folded: bool = False) -> jax.Array:
     """Differentiable A @ x for the fixed sparse A.
 
     fwd_arrays/bwd_arrays: (src, tgt_local, chunk_block, chunk_first) device
     arrays for A (target-sorted) and A^T (source-sorted) — TRACED args, so
     this composes with lax.scan over stacked per-interval plans; the static
     block/target counts ride nondiff_argnums.
+
+    folded=True enables the row-folded gather (spmm_apply) in BOTH
+    directions — the backward gathers from the cotangent table, which
+    carries the same 2x lane-padded relayout copy.
     """
-    return spmm_apply(x, *fwd_arrays, fwd_nb, fwd_nt, exact=exact)
+    return spmm_apply(x, *fwd_arrays, fwd_nb, fwd_nt, exact=exact,
+                      folded=folded)
 
 
 def _spmm_fwd(x, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, bwd_nb, bwd_nt,
-              exact):
-    out = spmm_apply(x, *fwd_arrays, fwd_nb, fwd_nt, exact=exact)
+              exact, folded):
+    out = spmm_apply(x, *fwd_arrays, fwd_nb, fwd_nt, exact=exact,
+                     folded=folded)
     return out, (fwd_arrays, bwd_arrays)
 
 
-def _spmm_bwd(fwd_nb, fwd_nt, bwd_nb, bwd_nt, exact, res, g):
+def _spmm_bwd(fwd_nb, fwd_nt, bwd_nb, bwd_nt, exact, folded, res, g):
     fwd_arrays, bwd_arrays = res
-    dx = spmm_apply(g, *bwd_arrays, bwd_nb, bwd_nt, exact=exact)
+    dx = spmm_apply(g, *bwd_arrays, bwd_nb, bwd_nt, exact=exact,
+                    folded=folded)
     return dx, _float0s(fwd_arrays), _float0s(bwd_arrays)
 
 
@@ -524,7 +582,8 @@ def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
                            chunk_first: jax.Array, num_blocks: int,
                            num_tgt: int, shard_rows: int,
                            exact: bool = True,
-                           shard_idx: jax.Array | None = None) -> jax.Array:
+                           shard_idx: jax.Array | None = None,
+                           folded: bool = False) -> jax.Array:
     """out[t] = Σ_e x[src[e]] via per-source-shard fast-path gathers.
 
     x: [num_src, D]; stacked [S', ...] arrays from plan_spmm_src_sharded.
@@ -534,7 +593,13 @@ def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
     shard's chunk stream be SUB-SLICED into several scan steps (any chunk
     boundary is a correct split under zero_init accumulation), bounding the
     live [slots, D] message buffer on huge graphs. Default: row i gathers
-    from shard i (one slice per shard)."""
+    from shard i (one slice per shard).
+
+    folded=True (exact mode): the table is reshaped ONCE to [N/2, 2D]
+    (zero-lane-pad relayout — the 1M-scale exact-mode memory lever, see
+    spmm_apply) and each shard windows into it with halved offsets;
+    shard-local src ids fold inside the window (shard_rows is even: all
+    shard sizes are 128-multiples)."""
     S = tgt_local.shape[0]
     d = x.shape[-1]
     n_shards = S if shard_idx is None \
@@ -542,18 +607,29 @@ def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
     pad = n_shards * shard_rows - x.shape[0]
     if pad > 0:
         x = jnp.pad(x, ((0, pad), (0, 0)))
+    fold = folded and exact and shard_rows % 2 == 0
     if not exact:
         x = x.astype(jnp.bfloat16)
+    if fold:
+        x = x.reshape(x.shape[0] // 2, 2 * d)
     if shard_idx is None:
         shard_idx = jnp.arange(S, dtype=jnp.int32)
 
     def body(acc, sl):
         s_idx, s_src, tl, cb, cf = sl
-        xs = jax.lax.dynamic_slice_in_dim(x, s_idx * shard_rows,
-                                          shard_rows, 0)
-        messages = jnp.take(xs, s_src, axis=0)
-        out = _segsum_pallas(messages, tl, cb, cf, num_blocks, exact=exact,
-                             zero_init=True)
+        if fold:
+            xs = jax.lax.dynamic_slice_in_dim(
+                x, s_idx * (shard_rows // 2), shard_rows // 2, 0)
+            messages = jnp.take(xs, s_src // 2, axis=0)
+            out = _segsum_pallas(messages, tl, cb, cf, num_blocks,
+                                 exact=exact, zero_init=True,
+                                 parity=s_src & 1)
+        else:
+            xs = jax.lax.dynamic_slice_in_dim(x, s_idx * shard_rows,
+                                              shard_rows, 0)
+            messages = jnp.take(xs, s_src, axis=0)
+            out = _segsum_pallas(messages, tl, cb, cf, num_blocks,
+                                 exact=exact, zero_init=True)
         return acc + out, None
 
     acc0 = jnp.zeros(((num_blocks + 1) * R, d), jnp.float32)
@@ -568,38 +644,40 @@ def _sharded_args(p: dict):
             int(p["num_blocks"]), int(p["num_tgt"]), int(p["shard_rows"]))
 
 
-def _ss_apply(x, arrays, nb, nt, sr, exact):
+def _ss_apply(x, arrays, nb, nt, sr, exact, folded=False):
     """arrays: (src, tgt_local, chunk_block, chunk_first[, shard_idx])."""
     sidx = arrays[4] if len(arrays) == 5 else None
     return spmm_apply_src_sharded(x, arrays[0], arrays[1], arrays[2],
                                   arrays[3], nb, nt, sr, exact=exact,
-                                  shard_idx=sidx)
+                                  shard_idx=sidx, folded=folded)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def spmm_src_sharded(x: jax.Array, fwd_arrays: Tuple, bwd_arrays: Tuple,
                      fwd_nb: int, fwd_nt: int, fwd_sr: int,
                      bwd_nb: int, bwd_nt: int, bwd_sr: int,
-                     num_src: int, exact: bool = True) -> jax.Array:
+                     num_src: int, exact: bool = True,
+                     folded: bool = False) -> jax.Array:
     """Differentiable source-sharded A @ x; backward is the transpose
     direction's sharded plan (bwd shards partition the TARGET space of the
     forward). num_src: x's true row count (the bwd output is sliced to it).
     Array tuples may carry a 5th shard_idx element (sub-sliced streams,
-    see spmm_apply_src_sharded).
+    see spmm_apply_src_sharded). folded: row-folded gathers both ways.
     """
-    return _ss_apply(x, fwd_arrays, fwd_nb, fwd_nt, fwd_sr, exact)
+    return _ss_apply(x, fwd_arrays, fwd_nb, fwd_nt, fwd_sr, exact, folded)
 
 
 def _spmm_ss_fwd(x, fwd_arrays, bwd_arrays, fwd_nb, fwd_nt, fwd_sr,
-                 bwd_nb, bwd_nt, bwd_sr, num_src, exact):
-    out = _ss_apply(x, fwd_arrays, fwd_nb, fwd_nt, fwd_sr, exact)
+                 bwd_nb, bwd_nt, bwd_sr, num_src, exact, folded):
+    out = _ss_apply(x, fwd_arrays, fwd_nb, fwd_nt, fwd_sr, exact, folded)
     return out, (fwd_arrays, bwd_arrays)
 
 
 def _spmm_ss_bwd(fwd_nb, fwd_nt, fwd_sr, bwd_nb, bwd_nt, bwd_sr, num_src,
-                 exact, res, g):
+                 exact, folded, res, g):
     fwd_arrays, bwd_arrays = res
-    dx = _ss_apply(g, bwd_arrays, bwd_nb, bwd_nt, bwd_sr, exact)
+    dx = _ss_apply(g, bwd_arrays, bwd_nb, bwd_nt, bwd_sr, exact, folded)
     return dx[:num_src], _float0s(fwd_arrays), _float0s(bwd_arrays)
 
 

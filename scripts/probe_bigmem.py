@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--items", type=int, default=786_432)
     ap.add_argument("--edges", type=int, default=60_000_000)
     ap.add_argument("--graph_num", type=int, default=3)
+    ap.add_argument("--only", default="",
+                    help="substring filter: probe only matching configs")
     args = ap.parse_args()
 
     import jax
@@ -107,9 +109,21 @@ def main() -> None:
         ("exact+remat+chunk32k+srcshard64k",
          dict(remat_propagation=True, fusion_chunk_rows=32_768,
               spmm_src_shard_rows=65_536)),
+        # ROW-FOLDED gathers (round 3): the [N/2, 2D] view's relayout copy
+        # drops the 2x lane padding that made exact mode 313 MB over
+        # (measured: fold alone leaves 1.47 MB — the last sliver comes out
+        # of the fusion-chunk temps)
+        ("exact+remat+chunk32k+fold",
+         dict(remat_propagation=True, fusion_chunk_rows=32_768,
+              spmm_fold_gather=True)),
+        ("exact+remat+chunk16k+fold",
+         dict(remat_propagation=True, fusion_chunk_rows=16_384,
+              spmm_fold_gather=True)),
     ]
     results = {}
     for name, kw in configs:
+        if args.only and args.only not in name:
+            continue
         results[name] = try_cfg(name, **kw)
     print(json.dumps({"metric": "bigmem_probe", "fits": results}))
 

@@ -97,6 +97,24 @@ def main() -> int:
                                      num_segments=NI)
         check(f"spmm bwd [{tag}]", dx, dx_ref, TOL[exact])
 
+    # ---- row-folded unweighted spmm (exact-mode memory lever) --------------
+    # Mosaic must handle the [C, 2D] message tile + in-kernel parity mux +
+    # 64-lane static slices — CPU interpret mode cannot catch layout bugs
+    from sagnn_tpu.ops.spmm_pallas import _plan_args, spmm
+    *fa_, fnb_, fnt_ = _plan_args(fwd)
+    *ba_, bnb_, bnt_ = _plan_args(bwd)
+    fa_, ba_ = tuple(fa_), tuple(ba_)
+    out = jax.jit(lambda x: spmm(x, fa_, ba_, fnb_, fnt_, bnb_, bnt_,
+                                 True, True))(x)
+    check("spmm fwd [folded]", out, gather_segment_sum(x, us, ut, NU),
+          TOL[True])
+    dxf = jax.jit(jax.grad(
+        lambda x: jnp.vdot(spmm(x, fa_, ba_, fnb_, fnt_, bnb_, bnt_,
+                                True, True), g_out)))(x)
+    check("spmm bwd [folded]", dxf,
+          jax.ops.segment_sum(jnp.take(g_out, ut, 0), us, num_segments=NI),
+          TOL[True])
+
     # ---- weighted spmm -----------------------------------------------------
     for exact in (True, False):
         tag = "exact" if exact else "bf16"

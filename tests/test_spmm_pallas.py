@@ -374,3 +374,91 @@ def test_src_sharded_trainer_end_to_end(tmp_path):
     assert last["preLoss"] < first["preLoss"]
     mets = tr.test_epoch()
     assert 0.0 <= mets["HR"] <= 1.0
+
+
+def test_folded_gather_matches_unfolded():
+    """Row-folded exact-mode SpMM (spmm_fold_gather): gather src//2 from
+    the [N/2, 2D] view, in-kernel parity half-select — values and grads
+    must match the plain path exactly (same f32 message values reach the
+    same HIGHEST-precision dots). Odd row counts silently fall back."""
+    rng = np.random.default_rng(9)
+    U, I, D, E = 384, 256, 64, 6000
+    src, tgt = _random_graph(rng, U, I, E)
+    X = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    fwd = plan_spmm(src, tgt, U)
+    o = np.argsort(src, kind="stable")
+    bwd = plan_spmm(tgt[o], src[o], I)
+
+    plain = spmm_apply(X, *_plan_args(fwd))
+    fold = spmm_apply(X, *_plan_args(fwd), folded=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(fold))
+
+    from sagnn_tpu.ops.spmm_pallas import spmm
+    G = jnp.asarray(rng.standard_normal((U, D)).astype(np.float32))
+    *fa, fnb, fnt = _plan_args(fwd)
+    *ba, bnb, bnt = _plan_args(bwd)
+
+    def loss(x, folded):
+        return jnp.sum(spmm(x, tuple(fa), tuple(ba), fnb, fnt, bnb, bnt,
+                            True, folded) * G)
+
+    g_plain = jax.grad(loss)(X, False)
+    g_fold = jax.grad(loss)(X, True)
+    np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_fold))
+
+    # odd row count: silent fallback, still correct
+    X_odd = X[:-1]
+    p_odd = plan_spmm(src[src < I - 1], tgt[src < I - 1], U)
+    out_f = spmm_apply(X_odd, *_plan_args(p_odd), folded=True)
+    out_p = spmm_apply(X_odd, *_plan_args(p_odd))
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_p))
+
+
+def test_folded_gather_src_sharded_matches():
+    """Folded gathers on the source-sharded path (the 1M-node exact-mode
+    lever): per-shard windows into the folded table."""
+    from sagnn_tpu.ops.spmm_pallas import (
+        plan_spmm_src_sharded, spmm_apply_src_sharded)
+
+    rng = np.random.default_rng(10)
+    U, I, D, E = 512, 384, 64, 9000
+    src, tgt = _random_graph(rng, U, I, E)
+    X = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    ss = plan_spmm_src_sharded(src, tgt, U, I, shard_rows=128)
+    args = (jnp.asarray(ss["src"]), jnp.asarray(ss["tgt_local"]),
+            jnp.asarray(ss["chunk_block"]), jnp.asarray(ss["chunk_first"]))
+    plain = spmm_apply_src_sharded(X, *args, ss["num_blocks"],
+                                   ss["num_tgt"], ss["shard_rows"])
+    fold = spmm_apply_src_sharded(X, *args, ss["num_blocks"],
+                                  ss["num_tgt"], ss["shard_rows"],
+                                  folded=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(fold))
+    expect = np.zeros((U, D), np.float32)
+    np.add.at(expect, tgt, np.asarray(X)[src])
+    np.testing.assert_allclose(np.asarray(fold), expect, rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_model_fold_gather_matches():
+    """End-to-end: spmm_fold_gather=True model forward equals the plain
+    pallas backend bitwise (exact mode)."""
+    bundle = synthetic_dataset(num_users=64, num_items=48, graph_num=2,
+                               seed=5)
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=64)
+    graphs = graphs_to_device(gb)
+    plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt,
+                                gb.num_users, gb.num_items, gb.edge_counts)
+    graphs["plans"] = {d: {k: jnp.asarray(v) for k, v in plans[d].items()}
+                       for d in ("u", "i")}
+    base = ModelConfig(graph_num=2, gnn_layer=2, att_layer=1, latdim=16,
+                       num_heads=4, ssldim=8, pos_length=12,
+                       spmm_backend="pallas")
+    import dataclasses
+    m_plain = SelfGNN(base, 64, 48)
+    m_fold = SelfGNN(dataclasses.replace(base, spmm_fold_gather=True),
+                     64, 48)
+    params = m_plain.init(jax.random.PRNGKey(0))
+    fu_p, fi_p, _, _ = m_plain.encode(params, graphs)
+    fu_f, fi_f, _, _ = m_fold.encode(params, graphs)
+    np.testing.assert_array_equal(np.asarray(fu_p), np.asarray(fu_f))
+    np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_f))
