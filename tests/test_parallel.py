@@ -178,3 +178,44 @@ def test_seq_parallel_sequence_branch_matches_single(setup):
                 params, item_emb)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_fold_gather_sharded_matches(setup, shape):
+    """spmm_fold_gather under GSPMD: the [N, D] -> [N/2, 2D] fold reshape
+    must compose with 'model'-sharded node tables (row shards stay
+    2-divisible) and match the single-device unfolded encode."""
+    import dataclasses
+
+    bundle, _, graphs, batch = setup
+    from sagnn_tpu.data.graph import compile_interval_graphs
+    from sagnn_tpu.ops.spmm_pallas import build_stacked_plans
+
+    gb = compile_interval_graphs(bundle.sub_mats, pad_multiple=64)
+    plans = build_stacked_plans(gb.u_src, gb.u_tgt, gb.i_src, gb.i_tgt,
+                                gb.num_users, gb.num_items, gb.edge_counts)
+    graphs2 = dict(graphs)
+    graphs2["plans"] = {d: {k: jnp.asarray(v) for k, v in plans[d].items()}
+                        for d in ("u", "i")}
+    cfg_f = dataclasses.replace(CFG.model, spmm_backend="pallas",
+                                spmm_fold_gather=True)
+    cfg_p = dataclasses.replace(CFG.model, spmm_backend="pallas")
+    model_f = SelfGNN(cfg_f, bundle.num_users, bundle.num_items)
+    model_p = SelfGNN(cfg_p, bundle.num_users, bundle.num_items)
+    params = model_f.init(jax.random.PRNGKey(0))
+
+    fu_ref, fi_ref, _, _ = jax.jit(
+        lambda p, g: model_p.encode(p, g))(params, graphs2)
+
+    mesh = make_mesh(data=shape[0], model=shape[1])
+    rules = ShardingRules(mesh)
+    with mesh:
+        p_sh = jax.device_put(params, param_shardings(rules, params))
+        g_sh, _ = shard_inputs(rules, graphs2, batch)
+        fu, fi, _, _ = jax.jit(
+            lambda p, g: model_f.encode(p, g))(p_sh, g_sh)
+        jax.block_until_ready(fu)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(fi_ref),
+                               rtol=1e-5, atol=1e-5)
