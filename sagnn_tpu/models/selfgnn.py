@@ -171,7 +171,11 @@ def chunked_topk(queries: jnp.ndarray, item_table: jnp.ndarray,
     """
     B, D = queries.shape
     I = item_table.shape[0]
-    assert k <= num_items, (k, num_items)
+    if isinstance(num_items, int):
+        # a traced num_items is legal (sharded_topk passes the shard's
+        # real-row count, data-dependent on the shard index) — it is only
+        # ever used in elementwise comparisons below
+        assert k <= num_items, (k, num_items)
     n_chunks = -(-I // chunk_rows)
     Ipad = n_chunks * chunk_rows
     tbl = item_table

@@ -55,7 +55,8 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
                  num_items: int, k: int, recall_target: float = 1.0,
                  seen_seq: Optional[jnp.ndarray] = None,
                  seen_mask: Optional[jnp.ndarray] = None,
-                 axis: str = "model") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 axis: str = "model",
+                 chunk_rows: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k item ids for each query row over a sharded catalog.
 
     queries    [B, D]  replicated (the per-user head vector pu + au)
@@ -64,6 +65,12 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
     num_items  real catalog size (pad rows gid >= num_items are masked)
     seen_seq/seen_mask [B, L]: optional per-user already-seen item ids to
                exclude (the exclude_seen semantics of recommend_top_k)
+    chunk_rows: 0 = auto (dense per-shard scoring up to 131,072 local
+               rows, models.selfgnn.chunked_topk streaming past it); -1 =
+               force dense; >0 = stream each shard's slice in chunks of
+               this many rows. Sharded x streamed composes: an 8-chip
+               mesh serves an 8M-item catalog with the same per-chip
+               memory bound a 1M-item catalog needs on one chip.
 
     Returns (scores [B, k], item_ids [B, k]) descending, replicated.
     """
@@ -75,6 +82,8 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
     # bounds downstream if k exceeded the true catalog
     assert k <= num_items, (k, num_items)
     local_rows = rows // n_shards
+    if chunk_rows == 0:
+        chunk_rows = 65_536 if local_rows > 131_072 else -1
     # a shard can contribute at most local_rows global winners, so the
     # merge stays exact with the per-shard k clamped (tiny catalogs)
     k_local = min(k, local_rows)
@@ -84,20 +93,34 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
         # tbl: [local_rows, D] — this shard's slice of the catalog
         p = jax.lax.axis_index(axis)
         gid0 = p * local_rows
-        scores = q @ tbl.T                                  # [B, local]
-        gids = gid0 + jnp.arange(local_rows)
-        scores = jnp.where(gids[None, :] < num_items, scores, -jnp.inf)
-        if exclude:
-            B, L = seq.shape
-            loc = seq - gid0                               # local column
-            hit = (loc >= 0) & (loc < local_rows) & (msk > 0)
-            r = jnp.repeat(jnp.arange(B), L)
-            seen = jnp.zeros((B, local_rows), jnp.bool_).at[
-                r, jnp.clip(loc, 0, local_rows - 1).reshape(-1)].max(
-                    hit.reshape(-1))
-            scores = jnp.where(seen, -jnp.inf, scores)
-        v, i = jax.lax.approx_max_k(scores, k_local,
-                                    recall_target=recall_target)
+        if chunk_rows > 0:
+            # stream this shard's slice: chunked_topk works in LOCAL ids
+            # (seen ids shift by gid0; its in-chunk range masks drop the
+            # ones belonging to other shards). Global pad rows are a
+            # SUFFIX of this shard's slice (pad_catalog appends), so the
+            # shard's real-row count is a valid — traced — num_items
+            from sagnn_tpu.models.selfgnn import chunked_topk
+            local_real = jnp.clip(num_items - gid0, 0, local_rows)
+            v, i = chunked_topk(
+                q, tbl, local_real, k_local, chunk_rows=chunk_rows,
+                recall_target=recall_target,
+                seen_seq=None if not exclude else seq - gid0,
+                seen_mask=msk if exclude else None)
+        else:
+            scores = q @ tbl.T                              # [B, local]
+            gids = gid0 + jnp.arange(local_rows)
+            scores = jnp.where(gids[None, :] < num_items, scores, -jnp.inf)
+            if exclude:
+                B, L = seq.shape
+                loc = seq - gid0                           # local column
+                hit = (loc >= 0) & (loc < local_rows) & (msk > 0)
+                r = jnp.repeat(jnp.arange(B), L)
+                seen = jnp.zeros((B, local_rows), jnp.bool_).at[
+                    r, jnp.clip(loc, 0, local_rows - 1).reshape(-1)].max(
+                        hit.reshape(-1))
+                scores = jnp.where(seen, -jnp.inf, scores)
+            v, i = jax.lax.approx_max_k(scores, k_local,
+                                        recall_target=recall_target)
         gi = gid0 + i
         # winners exchange: O(P*B*k), catalog-size independent
         av = jax.lax.all_gather(v, axis)                    # [P, B, k]
@@ -138,7 +161,8 @@ def sharded_recommend_top_k(model, mesh: Mesh, params, final_user,
                             seq: jnp.ndarray, seq_mask: jnp.ndarray,
                             k: int = 10, exclude_seen: bool = True,
                             recall_target: float = 1.0,
-                            axis: str = "model", item_table=None
+                            axis: str = "model", item_table=None,
+                            chunk_rows: int = 0
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Serving facade over a sharded catalog.
 
@@ -164,4 +188,4 @@ def sharded_recommend_top_k(model, mesh: Mesh, params, final_user,
                         recall_target,
                         seen_seq=seq if exclude_seen else None,
                         seen_mask=seq_mask if exclude_seen else None,
-                        axis=axis)
+                        axis=axis, chunk_rows=chunk_rows)

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--recall", type=float, default=1.0,
                     help="top-k recall target (1.0 = exact; <1 trades "
                          "recall for throughput via approx_max_k)")
+    ap.add_argument("--catalog_chunk", type=int, default=0,
+                    help="stream the catalog in chunks of this many rows "
+                         "(0 = auto: dense up to 131k rows per device, "
+                         "chunked_topk past it; applies to both the "
+                         "single-device and sharded paths)")
     ap.add_argument("--catalog_shards", type=int, default=0,
                     help="shard the item-encoding catalog over this many "
                          "devices ('model' mesh axis) and serve via the "
@@ -109,12 +114,13 @@ def main():
             jnp.asarray(users), jnp.asarray(seq),
             jnp.asarray(mask), k=args.k,
             exclude_seen=not args.include_seen,
-            recall_target=args.recall)
+            recall_target=args.recall, chunk_rows=args.catalog_chunk)
     else:
         scores, items = tr.model.recommend_top_k(
             tr.state["params"], tr.graphs, jnp.asarray(users),
             jnp.asarray(seq), jnp.asarray(mask), k=args.k,
-            exclude_seen=not args.include_seen, recall_target=args.recall)
+            exclude_seen=not args.include_seen, recall_target=args.recall,
+            chunk_rows=args.catalog_chunk)
     scores, items = np.asarray(scores), np.asarray(items)
     for i, u in enumerate(users):
         print(json.dumps({"user": int(u),

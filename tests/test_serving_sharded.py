@@ -90,3 +90,40 @@ def test_sharded_recommend_matches_single_device():
         np.testing.assert_allclose(
             np.take_along_axis(dense, np.asarray(got_i), axis=1),
             np.asarray(got_v), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_items,exclude", [(50, False), (53, True),
+                                               (117, True)])
+def test_sharded_topk_chunked_matches_dense(num_items, exclude):
+    """Sharded x streamed: per-shard chunked_topk streaming inside
+    sharded_topk (chunk_rows>0) must equal the dense sharded path and the
+    dense single-device reference — incl. non-divisible catalogs (global
+    pad rows are a suffix of the LAST shard's slice; the traced per-shard
+    real-row count masks them) and seen-exclusion crossing shards."""
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(6)
+    B, D, k = 5, 16, 6
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    table = rng.standard_normal((num_items, D)).astype(np.float32)
+    seq = rng.integers(0, num_items, (B, 5)).astype(np.int32)
+    msk = (rng.random((B, 5)) > 0.4).astype(np.float32)
+
+    padded = shard_catalog(mesh, pad_catalog(table, 8))
+    scores = q @ table.T
+    if exclude:
+        for b in range(B):
+            scores[b, seq[b][msk[b] > 0]] = -np.inf
+    want_v, _ = jax.lax.top_k(jnp.asarray(scores), k)
+    for chunk in (4, 7, 64):
+        v, i = sharded_topk(
+            mesh, jnp.asarray(q), padded, num_items, k,
+            seen_seq=jnp.asarray(seq) if exclude else None,
+            seen_mask=jnp.asarray(msk) if exclude else None,
+            chunk_rows=chunk)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(want_v),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(
+            np.take_along_axis(scores, np.asarray(i), axis=1),
+            np.asarray(v), rtol=1e-5, atol=1e-5)
+        assert int(np.asarray(i).max()) < num_items
