@@ -34,22 +34,35 @@ def _f32p(a):
 
 
 def build_library(force: bool = False) -> bool:
-    """Compile the .so with make; returns True on success."""
-    if os.path.exists(_LIB_PATH) and not force:
-        return True
+    """Compile the .so with make; returns True on success.
+
+    ALWAYS invokes make (incremental on sampler.cc's mtime): the .so is
+    untracked, so a prebuilt library from before a C-ABI change would
+    otherwise be loaded silently and called with a mismatched argument
+    layout (garbage batches / OOB reads — the worst failure mode a
+    sampler can have)."""
+    del force  # make is incremental; an up-to-date .so is a no-op build
     try:
         subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
                        check=True, capture_output=True)
         return os.path.exists(_LIB_PATH)
     except Exception:
-        return False
+        # no toolchain: only trust an existing .so if it is newer than
+        # its source (otherwise fall back to numpy rather than risk ABI
+        # mismatch)
+        src = os.path.join(os.path.dirname(_LIB_PATH), "sampler.cc")
+        try:
+            return (os.path.exists(_LIB_PATH)
+                    and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src))
+        except OSError:
+            return False
 
 
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not build_library():
+    if not build_library():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.sample_train_batch.restype = ctypes.c_int64

@@ -185,9 +185,6 @@ def chunked_topk(queries: jnp.ndarray, item_table: jnp.ndarray,
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_rows
     k_local = min(k, chunk_rows)
     exclude = seen_seq is not None
-    if exclude:
-        L = seen_seq.shape[1]
-        scatter_rows = jnp.repeat(jnp.arange(B), L)
     q_s = queries if score_dtype is None else queries.astype(score_dtype)
 
     def body(carry, xs):
@@ -201,16 +198,9 @@ def chunked_topk(queries: jnp.ndarray, item_table: jnp.ndarray,
         gids = gid0 + jnp.arange(chunk_rows)
         scores = jnp.where(gids[None, :] < num_items, scores, -jnp.inf)
         if exclude:
-            # NB: ids from other chunks give NEGATIVE local offsets, which
-            # .at[] would WRAP numpy-style before the mode="drop" OOB check
-            # — mask them explicitly and clip (as sharded_topk's shard_fn
-            # does)
-            loc = seen_seq - gid0
-            hit = ((loc >= 0) & (loc < chunk_rows)
-                   & (seen_mask > 0)).reshape(-1)
-            seen = jnp.zeros((B, chunk_rows), jnp.bool_).at[
-                scatter_rows,
-                jnp.clip(loc, 0, chunk_rows - 1).reshape(-1)].max(hit)
+            from sagnn_tpu.ops.chunking import scatter_local_mask
+            seen = scatter_local_mask(seen_seq, gid0, chunk_rows,
+                                      valid=seen_mask)
             scores = jnp.where(seen, -jnp.inf, scores)
         v, i = jax.lax.approx_max_k(scores, k_local,
                                     recall_target=recall_target)
@@ -932,7 +922,8 @@ class SelfGNN:
         final_user, final_item, _, _ = self.encode(params, graphs,
                                                    train=False)
         if chunk_rows == 0:
-            chunk_rows = 65_536 if self.num_items > 131_072 else -1
+            from sagnn_tpu.ops.chunking import auto_chunk_rows
+            chunk_rows = auto_chunk_rows(self.num_items)
         if chunk_rows > 0:
             queries = self.serving_queries(params, final_user, final_item,
                                            user_ids, seq, seq_mask)
@@ -943,11 +934,9 @@ class SelfGNN:
         scores = self.score_all_items(params, final_user, final_item,
                                       user_ids, seq, seq_mask)
         if exclude_seen:
-            B, L = seq.shape
-            rows = jnp.repeat(jnp.arange(B), L)
-            seen = jnp.zeros((B, self.num_items), jnp.bool_).at[
-                rows, seq.reshape(-1)].max(
-                    (seq_mask.reshape(-1) > 0))
+            from sagnn_tpu.ops.chunking import scatter_local_mask
+            seen = scatter_local_mask(seq, 0, self.num_items,
+                                      valid=seq_mask)
             scores = jnp.where(seen, -jnp.inf, scores)
         return topk_descending(scores, k, recall_target)
 

@@ -29,9 +29,10 @@ _build_failed = False
 
 
 def build_library(force: bool = False) -> bool:
+    """ALWAYS invokes make (incremental on planner.cc's mtime): the .so is
+    untracked, so a prebuilt library from before a C-ABI change must be
+    rebuilt rather than loaded with a mismatched argument layout."""
     global _build_failed
-    if os.path.exists(_LIB_PATH) and not force:
-        return True
     if _build_failed and not force:
         return False  # don't re-spawn make on every plan call
     try:
@@ -39,7 +40,13 @@ def build_library(force: bool = False) -> bool:
                         "libplanner.so"], check=True, capture_output=True)
         ok = os.path.exists(_LIB_PATH)
     except Exception:
-        ok = False
+        # no toolchain: only trust an existing .so newer than its source
+        src = os.path.join(os.path.dirname(_LIB_PATH), "planner.cc")
+        try:
+            ok = (os.path.exists(_LIB_PATH)
+                  and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src))
+        except OSError:
+            ok = False
     _build_failed = not ok
     return ok
 
@@ -48,7 +55,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not build_library():
+    if not build_library():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.plan_count.restype = ctypes.c_int64

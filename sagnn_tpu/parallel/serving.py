@@ -83,7 +83,8 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
     assert k <= num_items, (k, num_items)
     local_rows = rows // n_shards
     if chunk_rows == 0:
-        chunk_rows = 65_536 if local_rows > 131_072 else -1
+        from sagnn_tpu.ops.chunking import auto_chunk_rows
+        chunk_rows = auto_chunk_rows(local_rows)
     # a shard can contribute at most local_rows global winners, so the
     # merge stays exact with the per-shard k clamped (tiny catalogs)
     k_local = min(k, local_rows)
@@ -111,13 +112,8 @@ def sharded_topk(mesh: Mesh, queries: jnp.ndarray, item_table: jnp.ndarray,
             gids = gid0 + jnp.arange(local_rows)
             scores = jnp.where(gids[None, :] < num_items, scores, -jnp.inf)
             if exclude:
-                B, L = seq.shape
-                loc = seq - gid0                           # local column
-                hit = (loc >= 0) & (loc < local_rows) & (msk > 0)
-                r = jnp.repeat(jnp.arange(B), L)
-                seen = jnp.zeros((B, local_rows), jnp.bool_).at[
-                    r, jnp.clip(loc, 0, local_rows - 1).reshape(-1)].max(
-                        hit.reshape(-1))
+                from sagnn_tpu.ops.chunking import scatter_local_mask
+                seen = scatter_local_mask(seq, gid0, local_rows, valid=msk)
                 scores = jnp.where(seen, -jnp.inf, scores)
             v, i = jax.lax.approx_max_k(scores, k_local,
                                         recall_target=recall_target)

@@ -109,7 +109,6 @@ def streaming_positive_ranks(queries: jnp.ndarray, item_table: jnp.ndarray,
     """
     B, D = queries.shape
     I = item_table.shape[0]
-    K = excl_idx.shape[1]
     n_chunks = -(-I // chunk_items)
     Ipad = n_chunks * chunk_items
     tbl = item_table
@@ -117,7 +116,6 @@ def streaming_positive_ranks(queries: jnp.ndarray, item_table: jnp.ndarray,
         tbl = jnp.pad(item_table, ((0, Ipad - I), (0, 0)))
     tbl = tbl.reshape(n_chunks, chunk_items, D)
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_items
-    scatter_rows = jnp.repeat(jnp.arange(B), K)
 
     def extract(s_pos, xs):
         # pass 1: pull s_pos out of the chunk that owns the positive
@@ -137,14 +135,10 @@ def streaming_positive_ranks(queries: jnp.ndarray, item_table: jnp.ndarray,
         gids = gid0 + jnp.arange(chunk_items)
         keep = (gids[None, :] < num_items) \
             & (gids[None, :] != pos_items[:, None])
-        # this chunk's excluded columns. NB: ids from other chunks give
-        # NEGATIVE local offsets, which .at[] would WRAP numpy-style
-        # before any OOB check — mask explicitly and clip
-        loc = excl_idx - gid0
-        ok = ((loc >= 0) & (loc < chunk_items)).reshape(-1)
-        excluded = jnp.zeros((B, chunk_items), jnp.bool_).at[
-            scatter_rows,
-            jnp.clip(loc, 0, chunk_items - 1).reshape(-1)].max(ok)
+        # this chunk's excluded columns (negative-offset wrap handled by
+        # the shared helper)
+        from sagnn_tpu.ops.chunking import scatter_local_mask
+        excluded = scatter_local_mask(excl_idx, gid0, chunk_items)
         cnt = jnp.sum((s >= s_pos[:, None]) & keep & ~excluded, axis=1)
         return acc + cnt.astype(jnp.int32), None
 

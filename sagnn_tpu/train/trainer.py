@@ -409,9 +409,10 @@ class Trainer:
         chunk = self.cfg.train.full_sort_chunk
         num_items = final_item.shape[0]
         if chunk == 0:
-            # auto: dense [B, I] scores up to 128k items (~134 MB/batch at
-            # B=256), streamed past it (1 GB/batch at 1M items)
-            chunk = 65_536 if num_items > 131_072 else -1
+            # auto: dense [B, I] scores for small catalogs, streamed past
+            # the shared policy threshold (1 GB/batch at 1M items)
+            from sagnn_tpu.ops.chunking import auto_chunk_rows
+            chunk = auto_chunk_rows(num_items)
         if chunk > 0:
             queries = self.model.serving_queries(
                 params, final_user, final_item, user_ids, seq, seq_mask)
@@ -717,9 +718,21 @@ class Trainer:
                     st_epoch = self.restore_rng_state(rs)
                 log(f"Model Loaded, resuming at epoch {st_epoch}")
 
+        # seed the best-NDCG tracker from the RESTORED history: starting at
+        # 0.0 would let the first post-resume test epoch overwrite a BETTER
+        # checkpoint (the trajectory-exact contract demands the resumed run
+        # keep what the uninterrupted run would have kept)
         max_ndcg, max_res, max_epoch = 0.0, {}, 0
+        ndcgs = self.history.data.get("TestNDCG", [])
+        if ndcgs:
+            i = int(np.argmax(ndcgs))
+            max_ndcg = float(ndcgs[i])
+            max_res = {"HR": float(self.history.data["TestHR"][i]),
+                       "NDCG": max_ndcg}
+            max_epoch = i * cfg.train.tst_epoch  # tests run every tst_epoch
         try:
-            max_ndcg, max_res, max_epoch = self._epoch_loop(st_epoch)
+            max_ndcg, max_res, max_epoch = self._epoch_loop(
+                st_epoch, max_ndcg, max_res, max_epoch)
         finally:
             # an uncaught exception (e.g. runtime RESOURCE_EXHAUSTED at 1M-
             # node scale) must not discard a staged async best-NDCG save:
@@ -736,9 +749,10 @@ class Trainer:
                                      max_res))
         return max_res or final
 
-    def _epoch_loop(self, st_epoch: int):
+    def _epoch_loop(self, st_epoch: int, max_ndcg: float = 0.0,
+                    max_res: Optional[Dict] = None, max_epoch: int = 0):
         cfg = self.cfg
-        max_ndcg, max_res, max_epoch = 0.0, {}, 0
+        max_res = max_res or {}
         for ep in range(st_epoch, cfg.train.epoch):
             test = (ep % cfg.train.tst_epoch == 0)
             # for the preemption handler: the RNG state this epoch STARTED

@@ -24,6 +24,9 @@ import time
 
 sys.path.insert(0, ".")
 
+# default coordinator port; the launcher picks a FREE port and passes it
+# to workers, so two launchers (e.g. pytest -n, or a bench run next to a
+# test run) cannot collide on the coordinator socket
 PORT = 45813
 
 
@@ -63,6 +66,9 @@ def worker_train(args):
     out = tr.train_epoch(verbose=False)
     dt = time.perf_counter() - t0
     mets = tr.test_epoch()
+    # full-sort eval under the same per-host batch sharding (round 3:
+    # eval scales like training — each host samples only its slice)
+    fs = tr.test_epoch(full_sort=True)
     if args.proc_id == 0:
         print(json.dumps({
             "metric": "multihost_train_epoch",
@@ -70,6 +76,7 @@ def worker_train(args):
             "global_devices": jax.device_count(),
             "Loss": out["Loss"], "preLoss": out["preLoss"],
             "HR": mets["HR"], "NDCG": mets["NDCG"],
+            "fs_HR": fs["HR"], "fs_NDCG": fs["NDCG"],
             "epoch_seconds": round(dt, 2),
         }), flush=True)
 
@@ -146,22 +153,35 @@ def main():
                          "end-to-end Trainer run with per-host sampling")
     ap.add_argument("--proc_id", type=int, default=-1,
                     help="internal: worker mode")
+    ap.add_argument("--port", type=int, default=0,
+                    help="coordinator port (0 = launcher picks a free one)")
     args = ap.parse_args()
 
     if args.proc_id >= 0:
+        global PORT
+        PORT = args.port or PORT
         (worker_train if args.mode == "train" else worker)(args)
         return
+
+    port = args.port
+    if not port:
+        import socket
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
 
     procs = []
     for i in range(args.procs):
         cmd = [sys.executable, os.path.abspath(__file__),
-               "--proc_id", str(i), "--mode", args.mode]
+               "--proc_id", str(i), "--mode", args.mode,
+               "--port", str(port)]
         for k in ("procs", "local_devices", "edges", "users", "items",
                   "latdim", "iters"):
             cmd += [f"--{k}", str(getattr(args, k))]
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE if i == 0 else subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL, cwd=os.path.dirname(
+            stderr=(None if os.environ.get("MH_DEBUG") else
+                    subprocess.DEVNULL), cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))))
     out, _ = procs[0].communicate(timeout=600)
     for p in procs[1:]:

@@ -113,9 +113,8 @@ def main() -> None:
     # done once per catalog refresh, not per request).
     from sagnn_tpu.models.selfgnn import chunked_topk, topk_descending
 
-    chunk = ns.chunk
-    if chunk == 0:
-        chunk = 65_536 if ns.num_items > 131_072 else -1
+    from sagnn_tpu.ops.chunking import auto_chunk_rows
+    chunk = ns.chunk or auto_chunk_rows(ns.num_items)
     sdt = jnp.bfloat16 if ns.serve_dtype == "bf16" else None
 
     @jax.jit

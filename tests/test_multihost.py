@@ -72,6 +72,10 @@ def test_multi_process_train_epoch_matches_single(procs):
                  mesh=mesh)
     ref = tr.train_epoch(verbose=False)
     mets = tr.test_epoch()
+    fs = tr.test_epoch(full_sort=True)
     np.testing.assert_allclose(res["Loss"], ref["Loss"], rtol=1e-4)
     np.testing.assert_allclose(res["preLoss"], ref["preLoss"], rtol=1e-4)
     np.testing.assert_allclose(res["NDCG"], mets["NDCG"], rtol=1e-4)
+    # full-sort eval under per-host batch sharding matches too (round 3)
+    np.testing.assert_allclose(res["fs_NDCG"], fs["NDCG"], rtol=1e-4)
+    np.testing.assert_allclose(res["fs_HR"], fs["HR"], rtol=1e-4)

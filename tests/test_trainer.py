@@ -106,6 +106,36 @@ def test_trajectory_exact_resume(bundle, tmp_path_factory):
     np.testing.assert_allclose(losses_b, losses_full[2:], rtol=1e-6)
 
 
+def test_resume_keeps_better_checkpoint(bundle, tmp_path_factory, monkeypatch):
+    """After resume, the best-NDCG tracker is seeded from the restored
+    history: a post-resume test epoch with a WORSE NDCG must not overwrite
+    the better checkpoint (code-review r3 finding: max_ndcg restarted at
+    0.0, so the first post-resume test always saved)."""
+    import dataclasses
+    root = str(tmp_path_factory.mktemp("ckbest"))
+    cfg = CFG.replace(train=dataclasses.replace(
+        CFG.train, epoch=2, tst_epoch=1))
+    tr = Trainer(cfg, bundle, ckpt_root=root, pad_multiple=64)
+    tr.train_epoch(verbose=False)
+    # simulate a completed epoch-0 with a good test result, saved
+    tr.history.append("Train", {"Loss": 1.0, "preLoss": 0.9})
+    tr.history.append("Test", {"HR": 0.9, "NDCG": 0.8})
+    tr.ckpt.save(tr.state, tr.history, cfg,
+                 rng_state=tr.capture_rng_state(next_epoch=1))
+
+    tr2 = Trainer(cfg, bundle, ckpt_root=root, pad_multiple=64)
+    saves = []
+    monkeypatch.setattr(
+        tr2.ckpt, "save",
+        lambda *a, **k: saves.append(k.get("rng_state")))
+    monkeypatch.setattr(
+        tr2, "test_epoch",
+        lambda *a, **k: {"HR": 0.1, "NDCG": 0.05})  # worse than restored
+    res = tr2.run(resume=True)
+    assert saves == []              # the better checkpoint was kept
+    assert res["NDCG"] == 0.8       # max line reports the restored best
+
+
 def test_checkpoint_roundtrip(bundle, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ck2"))
     tr = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)
