@@ -42,6 +42,8 @@ def main() -> None:
                     help="rebuild the pallas plans with this chunk size")
     ap.add_argument("--only", default=None,
                     help="with --parts: time only this component")
+    ap.add_argument("--fold", action="store_true",
+                    help="row-folded exact gathers (spmm_fold_gather)")
     ap.add_argument("--bf16", action="store_true",
                     help="throughput mode: spmm_exact=False (bf16 message "
                          "stream) + fusion_dtype=bf16 (non-parity)")
@@ -65,6 +67,7 @@ def main() -> None:
                           num_heads=4, ssldim=48, pos_length=200,
                           keep_rate=1.0, spmm_backend=ns.backend,
                           spmm_exact=not ns.bf16,
+                          spmm_fold_gather=ns.fold,
                           fusion_dtype="bf16" if ns.bf16 else "f32",
                           stable_softmax=ns.bf16),
         train=TrainConfig(batch=512, samp_num=40, ssl_num=40, trn_num=10_000,
