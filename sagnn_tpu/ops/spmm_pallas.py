@@ -387,7 +387,9 @@ def spmm_apply(x: jax.Array, src: jax.Array, tgt_local: jax.Array,
     outputs). The plan MUST have been built with the same num_slices so
     slice-leading chunks re-zero their blocks.
     """
-    fold = (folded and exact and weights is None and x.shape[0] % 2 == 0)
+    # folding composes with BOTH precisions (bf16 rows fold 128 B -> 256 B;
+    # the relayout copy of bf16 [N, 64] lane-pads 2x just like f32)
+    fold = (folded and weights is None and x.shape[0] % 2 == 0)
     if not exact:
         x = x.astype(jnp.bfloat16)
     d = x.shape[-1]
@@ -607,7 +609,7 @@ def spmm_apply_src_sharded(x: jax.Array, src: jax.Array,
     pad = n_shards * shard_rows - x.shape[0]
     if pad > 0:
         x = jnp.pad(x, ((0, pad), (0, 0)))
-    fold = folded and exact and shard_rows % 2 == 0
+    fold = folded and shard_rows % 2 == 0
     if not exact:
         x = x.astype(jnp.bfloat16)
     if fold:

@@ -104,16 +104,19 @@ def main() -> int:
     *fa_, fnb_, fnt_ = _plan_args(fwd)
     *ba_, bnb_, bnt_ = _plan_args(bwd)
     fa_, ba_ = tuple(fa_), tuple(ba_)
-    out = jax.jit(lambda x: spmm(x, fa_, ba_, fnb_, fnt_, bnb_, bnt_,
-                                 True, True))(x)
-    check("spmm fwd [folded]", out, gather_segment_sum(x, us, ut, NU),
-          TOL[True])
-    dxf = jax.jit(jax.grad(
-        lambda x: jnp.vdot(spmm(x, fa_, ba_, fnb_, fnt_, bnb_, bnt_,
-                                True, True), g_out)))(x)
-    check("spmm bwd [folded]", dxf,
-          jax.ops.segment_sum(jnp.take(g_out, ut, 0), us, num_segments=NI),
-          TOL[True])
+    for exact in (True, False):
+        tag = "folded" if exact else "folded bf16"
+        q = (lambda a: a) if exact else b16
+        out = jax.jit(lambda x, e=exact: spmm(
+            x, fa_, ba_, fnb_, fnt_, bnb_, bnt_, e, True))(x)
+        check(f"spmm fwd [{tag}]", out,
+              gather_segment_sum(q(x), us, ut, NU), TOL[exact])
+        dxf = jax.jit(jax.grad(
+            lambda x, e=exact: jnp.vdot(spmm(
+                x, fa_, ba_, fnb_, fnt_, bnb_, bnt_, e, True), g_out)))(x)
+        check(f"spmm bwd [{tag}]", dxf,
+              jax.ops.segment_sum(jnp.take(q(g_out), ut, 0), us,
+                                  num_segments=NI), TOL[exact])
 
     # ---- weighted spmm -----------------------------------------------------
     for exact in (True, False):

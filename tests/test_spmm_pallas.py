@@ -393,6 +393,11 @@ def test_folded_gather_matches_unfolded():
     fold = spmm_apply(X, *_plan_args(fwd), folded=True)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(fold))
 
+    # bf16 mode folds too (same relayout-padding economics)
+    plain16 = spmm_apply(X, *_plan_args(fwd), exact=False)
+    fold16 = spmm_apply(X, *_plan_args(fwd), exact=False, folded=True)
+    np.testing.assert_array_equal(np.asarray(plain16), np.asarray(fold16))
+
     from sagnn_tpu.ops.spmm_pallas import spmm
     G = jnp.asarray(rng.standard_normal((U, D)).astype(np.float32))
     *fa, fnb, fnt = _plan_args(fwd)
