@@ -31,12 +31,15 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--graph_num", type=int, default=3)
     ap.add_argument("--tst_epoch", type=int, default=2)
+    ap.add_argument("--fold", action="store_true",
+                    help="row-folded gathers (spmm_fold_gather)")
     args = ap.parse_args()
 
     cfg = Config(
         model=ModelConfig(graph_num=args.graph_num, gnn_layer=2, att_layer=1,
                           ssldim=48, spmm_backend=args.backend,
-                          spmm_exact=False, keep_rate=0.5),
+                          spmm_exact=False, keep_rate=0.5,
+                          spmm_fold_gather=args.fold),
         train=TrainConfig(lr=2e-3, reg=1e-2, ssl_reg=1e-6, epoch=args.epochs,
                           batch=512, samp_num=40, ssl_num=40, trn_num=10000,
                           test_size=100, tst_epoch=args.tst_epoch,
