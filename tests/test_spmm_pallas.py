@@ -467,3 +467,22 @@ def test_model_fold_gather_matches():
     fu_f, fi_f, _, _ = m_fold.encode(params, graphs)
     np.testing.assert_array_equal(np.asarray(fu_p), np.asarray(fu_f))
     np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_f))
+
+
+def test_folded_sliced_spmm_matches():
+    """Fold on the out-of-core sliced path (num_slices>1): each slice
+    gathers from the folded view with zero_init accumulation."""
+    rng = np.random.default_rng(11)
+    U, I, D, E = 640, 512, 64, 15000
+    tgt = np.sort(rng.integers(0, U, E, dtype=np.int32))
+    src = rng.integers(0, I, E, dtype=np.int32)
+    X = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    expect = np.zeros((U, D), np.float32)
+    np.add.at(expect, tgt, np.asarray(X)[src])
+    for S in (2, 4):
+        p = plan_spmm(src, tgt, U, num_slices=S)
+        plain = spmm_apply(X, *_plan_args(p), num_slices=S)
+        fold = spmm_apply(X, *_plan_args(p), num_slices=S, folded=True)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(fold))
+        np.testing.assert_allclose(np.asarray(fold), expect, rtol=1e-5,
+                                   atol=1e-4)
