@@ -198,6 +198,93 @@ def main() -> None:
     edges_per_sec = edges_per_step / dt
     edges_per_sec_bf16 = edges_per_step / dt_pl
 
+    # -- gather roofline fraction (VERDICT r3 #4b) --------------------------
+    # The SpMM is gather-bound (DESIGN.md §3; every in-kernel alternative
+    # measured negative — probe_dma_gather.py). Re-assert "at the wall" on
+    # every run: time the same scan doing ONLY the plan-ordered gathers
+    # (the irreducible row-latency cost) and report achieved/bound.
+    def make_gather_only(exact):
+        def gather_only(u_emb, i_emb, plans):
+            def one(_, inp):
+                u0, i0, pu, pi = inp
+                if not exact:
+                    u0 = u0.astype(jnp.bfloat16)
+                    i0 = i0.astype(jnp.bfloat16)
+                acc = jnp.float32(0.0)
+                for _l in range(GNN_LAYER):
+                    # the barrier forces the [E, D] message stream to
+                    # materialize (as the SpMM's gather must — the kernel
+                    # reads it back); without it XLA fuses the sum into
+                    # the gather and reports a bound no segment-sum
+                    # consumer could reach
+                    m = jax.lax.optimization_barrier(
+                        jnp.take(i0, pu["src"], axis=0))
+                    acc += m.sum()
+                    m = jax.lax.optimization_barrier(
+                        jnp.take(u0, pi["src"], axis=0))
+                    acc += m.sum()
+                return None, acc
+
+            _, accs = jax.lax.scan(one, None,
+                                   (u_emb, i_emb, plans["u"], plans["i"]))
+            return accs.sum()
+        return gather_only
+
+    dt_g32, _ = _time_fn(_chain_steps(make_gather_only(True)),
+                         u_emb, i_emb, plans, iters=3)
+    dt_g16, _ = _time_fn(_chain_steps(make_gather_only(False)),
+                         u_emb, i_emb, plans, iters=3)
+    vs_gather_bound = (dt_g32 / CHAIN) / dt_exact
+    vs_gather_bound_bf16 = (dt_g16 / CHAIN) / dt_pl
+    log(f"gather-only bound: f32 {dt_g32/CHAIN*1e3:.2f} ms "
+        f"(achieved/bound {vs_gather_bound:.3f}), "
+        f"bf16 {dt_g16/CHAIN*1e3:.2f} ms ({vs_gather_bound_bf16:.3f})")
+
+    # -- gowalla-fill FULL train step (VERDICT r3 #4a) ----------------------
+    # The microbench above runs dense 4M-edge intervals where fold loses;
+    # the best-known FULL-STEP recipes at real-dataset fill keep fold ON
+    # (15-22% faster, DESIGN.md §8 regime 2). Regression-guard them with
+    # one measured train step per precision at the bench_train_step shape.
+    full_steps = {}
+    from sagnn_tpu.config import Config, ModelConfig, TrainConfig
+    from sagnn_tpu.data.synthetic import synthetic_dataset
+    from sagnn_tpu.train.trainer import Trainer, make_train_step
+    bundle = synthetic_dataset(num_users=NUM_USERS, num_items=NUM_ITEMS,
+                               graph_num=GRAPH_NUM, test_size=20, seed=7,
+                               seq_len_range=(10, 50))
+    log(f"full-step intervals: {[m.nnz for m in bundle.sub_mats]} edges")
+    for label, bf16 in (("exact_fold", False), ("bf16_fold", True)):
+        cfg = Config(
+            model=ModelConfig(graph_num=GRAPH_NUM, gnn_layer=GNN_LAYER,
+                              att_layer=1, latdim=LATDIM, num_heads=4,
+                              ssldim=48, pos_length=200, keep_rate=1.0,
+                              spmm_backend="pallas", spmm_exact=not bf16,
+                              spmm_fold_gather=True,
+                              fusion_dtype="bf16" if bf16 else "f32",
+                              stable_softmax=bf16),
+            train=TrainConfig(batch=512, samp_num=40, ssl_num=40,
+                              trn_num=10_000, test_size=1000, lr=2e-3,
+                              reg=1e-2, ssl_reg=1e-6),
+        )
+        tr = Trainer(cfg, bundle, ckpt_root="/tmp/bench_models")
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, tr.sampler.train_batch(np.arange(512)))
+        raw_step = make_train_step(tr.model, tr.optimizer, 1e-2, 1e-6)
+        key2 = jax.random.PRNGKey(3)
+
+        @jax.jit
+        def step_chain(state, graphs, batch):
+            def body(st, _):
+                st, stats = raw_step(st, graphs, batch, key2)
+                return st, stats["loss"]
+            _, losses = jax.lax.scan(body, state, None, length=CHAIN)
+            return losses[-1]
+
+        ms, _ = _time_fn(step_chain, tr.state, tr.graphs, batch, iters=3)
+        full_steps[label] = ms / CHAIN * 1e3
+        log(f"full step [{label}]: {full_steps[label]:.1f} ms")
+        del tr, batch
+
     if os.path.exists(anchor_path):
         with open(anchor_path) as f:
             anchor = json.load(f)["edges_per_sec"]
@@ -226,6 +313,15 @@ def main() -> None:
         # and `value` are both f32-exact, so vs_baseline is apples-to-apples)
         "value_bf16": round(edges_per_sec_bf16 / 1e9, 4),
         "vs_baseline_bf16": round(edges_per_sec_bf16 / anchor, 4),
+        # fraction of the plan-ordered gather roofline achieved (measured
+        # fresh per run; DESIGN.md §3 — every in-kernel alternative probed
+        # negative, so ~0.9 here means AT the chip's wall)
+        "vs_gather_bound": round(vs_gather_bound, 4),
+        "vs_gather_bound_bf16": round(vs_gather_bound_bf16, 4),
+        # gowalla-fill FULL train step, best-known recipes (fold ON at
+        # real-dataset fill — DESIGN.md §8 regime 2)
+        "full_step_exact_fold_ms": round(full_steps["exact_fold"], 1),
+        "full_step_bf16_fold_ms": round(full_steps["bf16_fold"], 1),
         "note": "value/vs_baseline: f32 parity mode vs the frozen f32 XLA "
                 "segment-sum anchor; _bf16: non-parity throughput mode",
     }
@@ -239,9 +335,17 @@ def main() -> None:
             if ratio < 0.95:
                 log(f"REGRESSION: {key} throughput {ratio:.3f}x the "
                     f"previous run ({prev['value' if key == 'f32' else 'value_bf16']} G/s) — >5% drop")
+        for key in ("full_step_exact_fold_ms", "full_step_bf16_fold_ms"):
+            if key in prev and out[key] > prev[key] * 1.05:
+                log(f"REGRESSION: {key} {out[key]} ms vs previous "
+                    f"{prev[key]} ms — >5% slower")
     history.append({"time": time.strftime("%Y-%m-%d %H:%M:%S"),
                     "value": out["value"],
-                    "value_bf16": out["value_bf16"]})
+                    "value_bf16": out["value_bf16"],
+                    "vs_gather_bound": out["vs_gather_bound"],
+                    "vs_gather_bound_bf16": out["vs_gather_bound_bf16"],
+                    "full_step_exact_fold_ms": out["full_step_exact_fold_ms"],
+                    "full_step_bf16_fold_ms": out["full_step_bf16_fold_ms"]})
     with open(hist_path, "w") as f:
         json.dump(history, f, indent=1)
     print(json.dumps(out))

@@ -59,7 +59,11 @@ class ModelConfig:
     # select happens inside the Pallas kernel (VMEM mux — an XLA-level
     # select costs a full extra HBM pass, probe_rowfold.py). Applies to
     # the unweighted pallas + src-sharded paths when node counts are
-    # even; no-op in bf16/weighted modes.
+    # even, in BOTH exact-f32 and bf16 modes (bf16 [N, 64] rows lane-pad
+    # 2x just like f32; only the weighted kernel is excluded). Whether it
+    # is a speedup is shape-dependent — see the three measured regimes in
+    # docs/DESIGN.md §8 (real-dataset fill: 15-22% faster; dense
+    # microbench: +16%; 1M-scale bf16 src-sharded: +10%).
     spmm_fold_gather: bool = False
     # Q2 variant: sym-sqrt degree-normalized propagation (what the
     # reference's transToLsts(norm=True) computes before the int32 cast

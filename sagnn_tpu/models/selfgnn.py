@@ -174,7 +174,15 @@ def chunked_topk(queries: jnp.ndarray, item_table: jnp.ndarray,
     if isinstance(num_items, int):
         # a traced num_items is legal (sharded_topk passes the shard's
         # real-row count, data-dependent on the shard index) — it is only
-        # ever used in elementwise comparisons below
+        # ever used in elementwise comparisons below. The k-guard cannot
+        # fire then, and MUST NOT need to: a traced num_items may even be
+        # 0 (a shard owning only pad rows — tables padded to shard
+        # multiples of 128 with a small catalog). Every candidate of such
+        # a call scores -inf, which is correct AS LONG AS the caller
+        # guarantees k real candidates exist globally — sharded_topk's
+        # static `k <= num_items` assert on the true catalog size does
+        # exactly that, and its merge drops the -inf losers
+        # (test_sharded_topk_empty_shards).
         assert k <= num_items, (k, num_items)
     n_chunks = -(-I // chunk_rows)
     Ipad = n_chunks * chunk_rows

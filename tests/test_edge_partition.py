@@ -225,6 +225,7 @@ def test_ring_model_backend_matches_xla():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_model_backend_grads_match():
     import dataclasses
     from sagnn_tpu.config import ModelConfig
@@ -330,6 +331,7 @@ def test_ring_model_backend_edge_norm_matches_xla():
                                    rtol=1e-5, atol=1e-5, err_msg=norm)
 
 
+@pytest.mark.slow
 def test_ring_pallas_spmm_matches_scipy_and_grads():
     """Pallas-kernel ring hop (ring_spmm_pallas): forward matches scipy,
     gradient matches the transpose SpMM via the paired custom VJP —

@@ -129,6 +129,7 @@ def test_values_mapped_correctly(imported):
     assert out["step"] == STEP
 
 
+@pytest.mark.slow
 def test_trainer_continues_from_import(imported, bundle, tmp_path_factory):
     arrays, out = imported
     cfg = Config(model=MCFG,

@@ -54,6 +54,7 @@ def test_mesh_shapes():
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(setup, shape):
     bundle, model, graphs, batch = setup
     optimizer = make_optimizer(CFG)
@@ -109,6 +110,7 @@ def test_param_shardings_cover_tables(setup):
     assert sh["reg"]["meta2_w"].spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoints():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -66,6 +66,7 @@ def test_full_pipeline_invariants():
     assert bundle.trn_mat.shape == (bundle.num_users, bundle.num_items)
 
 
+@pytest.mark.slow
 def test_pipeline_feeds_trainer():
     rng = np.random.default_rng(1)
     u, i, t = _events(rng, num_users=24, num_items=30, n=500)

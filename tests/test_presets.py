@@ -19,6 +19,8 @@ from sagnn_tpu.config import PRESETS
 from sagnn_tpu.data.synthetic import synthetic_dataset
 from sagnn_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", ["gowalla", "movielens", "yelp", "amazon"])
 def test_preset_shape_trains(name, tmp_path):

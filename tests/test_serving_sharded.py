@@ -50,6 +50,7 @@ def test_sharded_topk_matches_dense(num_items, exclude):
     assert int(np.asarray(i).max()) < num_items  # no pad row leaked
 
 
+@pytest.mark.slow
 def test_sharded_recommend_matches_single_device():
     """End-to-end: sharded_recommend_top_k == SelfGNN.recommend_top_k on
     the same params/graphs (8-way CPU mesh vs single device)."""
@@ -127,3 +128,43 @@ def test_sharded_topk_chunked_matches_dense(num_items, exclude):
             np.take_along_axis(scores, np.asarray(i), axis=1),
             np.asarray(v), rtol=1e-5, atol=1e-5)
         assert int(np.asarray(i).max()) < num_items
+
+
+@pytest.mark.parametrize("chunk_rows", [-1, 16, 64])
+def test_sharded_topk_empty_shards(chunk_rows):
+    """Shards owning ZERO real rows (catalog < one shard's slice) must not
+    leak pad/garbage winners. This happens when the table rows are padded
+    beyond shard divisibility — e.g. node counts padded to shard multiples
+    of 128 (parallel/sharding.py) with a tiny real catalog: at 8 shards x
+    128 rows, shards 1-7 are all pad. Their candidates are -inf and must
+    lose the global merge (guarded by the STATIC k <= num_items assert in
+    sharded_topk; chunked_topk's per-shard num_items is traced and may be
+    0 — see its k-guard note)."""
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(11)
+    B, D, k, num_items = 4, 16, 10, 37
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    table = rng.standard_normal((num_items, D)).astype(np.float32)
+    seq = rng.integers(0, num_items, (B, 5)).astype(np.int32)
+    msk = (rng.random((B, 5)) > 0.4).astype(np.float32)
+
+    # pad to 8 x 128 rows: only shard 0 has real rows (37 < 128)
+    big = np.zeros((1024, D), np.float32)
+    big[:num_items] = table
+    padded = shard_catalog(mesh, big)
+
+    scores = q @ table.T
+    for b in range(B):
+        scores[b, seq[b][msk[b] > 0]] = -np.inf
+    want_v, _ = jax.lax.top_k(jnp.asarray(scores), k)
+
+    v, i = sharded_topk(mesh, jnp.asarray(q), padded, num_items, k,
+                        seen_seq=jnp.asarray(seq),
+                        seen_mask=jnp.asarray(msk),
+                        chunk_rows=chunk_rows)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, np.asarray(i), axis=1), np.asarray(v),
+        rtol=1e-5, atol=1e-5)
+    assert int(np.asarray(i).max()) < num_items

@@ -94,6 +94,7 @@ def test_sliced_spmm_matches():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_pallas_matches_xla():
     cfg_x = ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=16,
                         num_heads=4, ssldim=8, pos_length=12, leaky=0.5,
@@ -284,6 +285,7 @@ def test_src_sharded_spmm_matches_oracle():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_model_src_sharded_backend_matches_xla():
     """spmm_src_shard_rows as a real model backend: encoding + grads match
     the XLA path with the source tables split into multiple shards (the

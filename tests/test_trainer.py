@@ -27,6 +27,7 @@ def bundle():
                              test_size=10, seed=0)
 
 
+@pytest.mark.slow
 def test_loss_decreases(bundle, tmp_path_factory):
     tr = Trainer(CFG, bundle,
                  ckpt_root=str(tmp_path_factory.mktemp("ck")),
@@ -40,6 +41,7 @@ def test_loss_decreases(bundle, tmp_path_factory):
     assert 0.0 <= mets["NDCG"] <= mets["HR"] + 1e-9
 
 
+@pytest.mark.slow
 def test_full_sort_eval(bundle, tmp_path_factory):
     """Full-catalog protocol: sampler exclusion semantics + trainer epoch."""
     tr = Trainer(CFG, bundle,
@@ -74,6 +76,7 @@ def test_full_sort_eval(bundle, tmp_path_factory):
                                    err_msg=key)
 
 
+@pytest.mark.slow
 def test_trajectory_exact_resume(bundle, tmp_path_factory):
     """A run killed after epoch 2 and resumed must replay the uninterrupted
     run's epochs 2-3 bit-for-bit: the checkpoint carries the sampler's
@@ -106,6 +109,7 @@ def test_trajectory_exact_resume(bundle, tmp_path_factory):
     np.testing.assert_allclose(losses_b, losses_full[2:], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_resume_keeps_better_checkpoint(bundle, tmp_path_factory, monkeypatch):
     """After resume, the best-NDCG tracker is seeded from the restored
     history: a post-resume test epoch with a WORSE NDCG must not overwrite
@@ -136,6 +140,7 @@ def test_resume_keeps_better_checkpoint(bundle, tmp_path_factory, monkeypatch):
     assert res["NDCG"] == 0.8       # max line reports the restored best
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(bundle, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ck2"))
     tr = Trainer(CFG, bundle, ckpt_root=root, pad_multiple=64)
@@ -208,6 +213,7 @@ def test_noise_mode(bundle, tmp_path):
     assert loaded.num_users == bundle.num_users
 
 
+@pytest.mark.slow
 def test_nan_guard_restores_checkpoint(tmp_path):
     """Failure detection: a non-finite epoch loss rolls back to the last
     checkpoint and training continues (SURVEY.md §5 gap, ours to fill)."""
@@ -278,6 +284,7 @@ def test_checkpoint_config_roundtrip(tmp_path):
     assert loaded == cfg
 
 
+@pytest.mark.slow
 def test_seed_reproducibility(tmp_path):
     """Same seed => bit-identical params after an epoch (the reference's
     seeded-run reproducibility contract, main.py:21-23)."""

@@ -9,6 +9,8 @@ from sagnn_tpu.data.synthetic import synthetic_dataset
 from sagnn_tpu.parallel.mesh import make_mesh
 from sagnn_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 CFG = Config(
     model=ModelConfig(graph_num=2, gnn_layer=1, att_layer=1, latdim=16,
                       num_heads=4, ssldim=8, pos_length=16, keep_rate=1.0),

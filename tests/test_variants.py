@@ -5,6 +5,7 @@ functional edge dropout."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sagnn_tpu.config import ModelConfig
 from sagnn_tpu.data.graph import compile_interval_graphs
@@ -282,6 +283,7 @@ def test_remat_propagation_same_values_and_grads():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fusion_dtype_bf16_runs_and_tracks_f32():
     """bf16 fusion stack: finite, close to the f32 path, grads flow."""
     import dataclasses
@@ -481,6 +483,7 @@ def test_edge_dropout_trainer_smoke():
         assert last["preLoss"] < first["preLoss"]
 
 
+@pytest.mark.slow
 def test_fusion_chunk_rows_matches_unchunked():
     """fusion_chunk_rows streams the row-parallel fusion stack in node
     blocks — bit-equal to the unchunked path at keep_rate=1."""
