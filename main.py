@@ -127,6 +127,10 @@ def parse_args() -> argparse.Namespace:
                    help="--data synthetic: total edge budget; >0 switches "
                         "to the vectorized large-scale generator "
                         "(1M+ users / 100M+ edges)")
+    p.add_argument("--synth_test_users", type=int, default=4096,
+                   help="large-scale generator only: number of held-out "
+                        "test users (wider = less noisy full-sort metrics "
+                        "at 1M scale; eval cost scales linearly)")
     return p.parse_args()
 
 
@@ -166,7 +170,8 @@ def main() -> None:
                 num_users=ns.synth_users, num_items=ns.synth_items,
                 total_edges=ns.synth_edges,
                 graph_num=cfg.model.graph_num,
-                test_size=cfg.train.test_size, seed=cfg.train.seed)
+                test_size=cfg.train.test_size,
+                num_test_users=ns.synth_test_users, seed=cfg.train.seed)
         else:
             bundle = synthetic_dataset(num_users=ns.synth_users,
                                    num_items=ns.synth_items,

@@ -119,6 +119,16 @@ def main() -> None:
         ("exact+remat+chunk16k+fold",
          dict(remat_propagation=True, fusion_chunk_rows=16_384,
               spmm_fold_gather=True)),
+        # FULL-COVERAGE epoch recipes (round 4): batch 4096 walks all
+        # 1.05M users in 256 steps/epoch — audit that the 8x batch-
+        # dependent temps (sequence branch, sampled-user meta-net, SSL)
+        # still fit next to the graph-dependent ones
+        ("bf16recipe+batch4096",
+         dict(batch=4096, remat_propagation=True, fusion_chunk_rows=32_768,
+              fusion_dtype="bf16", stable_softmax=True, spmm_exact=False)),
+        ("exactfold+chunk16k+batch4096",
+         dict(batch=4096, remat_propagation=True, fusion_chunk_rows=16_384,
+              spmm_fold_gather=True)),
     ]
     results = {}
     for name, kw in configs:
