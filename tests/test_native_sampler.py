@@ -97,12 +97,16 @@ def test_native_speed_advantage(samplers):
     bat = np.arange(16)
     for s in (s_np, s_cc):
         s.train_batch(bat)  # warm
-    t0 = time.perf_counter()
-    for _ in range(5):
-        s_np.train_batch(bat)
-    t_np = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(5):
-        s_cc.train_batch(bat)
-    t_cc = time.perf_counter() - t0
-    assert t_cc < t_np  # native strictly faster even at tiny scale
+
+    # min-of-N timing: a single scheduler hiccup on a loaded 2-CPU box
+    # flipped the old one-shot comparison; the minimum over independent
+    # repeats is the standard noise-immune estimator for "which is faster"
+    def best(sampler, reps=7):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sampler.train_batch(bat)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    assert best(s_cc) < best(s_np)  # native strictly faster even tiny
