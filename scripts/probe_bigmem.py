@@ -129,6 +129,18 @@ def main() -> None:
         ("exactfold+chunk16k+batch4096",
          dict(batch=4096, remat_propagation=True, fusion_chunk_rows=16_384,
               spmm_fold_gather=True)),
+        # measured 22.35 MB over at chunk16k — a smaller fusion chunk
+        # frees exactly the per-block LSTM/attention temps
+        ("exactfold+chunk8k+batch4096",
+         dict(batch=4096, remat_propagation=True, fusion_chunk_rows=8_192,
+              spmm_fold_gather=True)),
+        # chunk8k recovered only ~3 MB (19.5 still over): the overage is
+        # batch-dependent (sequence branch / sampled-user meta-net), so
+        # exact-precision full coverage halves the batch instead
+        # (512 steps/epoch)
+        ("exactfold+chunk16k+batch2048",
+         dict(batch=2048, remat_propagation=True, fusion_chunk_rows=16_384,
+              spmm_fold_gather=True)),
     ]
     results = {}
     for name, kw in configs:
