@@ -131,6 +131,17 @@ def parse_args() -> argparse.Namespace:
                    help="large-scale generator only: number of held-out "
                         "test users (wider = less noisy full-sort metrics "
                         "at 1M scale; eval cost scales linearly)")
+    p.add_argument("--supervise", action="store_true",
+                   help="run under the wedge watchdog "
+                        "(train/supervisor.py): auto-detect a hung run "
+                        "(no log output + ~zero CPU), SIGTERM it so the "
+                        "preemption handler commits staged saves, clean "
+                        "partial checkpoints, probe the device, and "
+                        "relaunch with --load_model")
+    p.add_argument("--supervise_wedge_secs", type=float, default=300.0,
+                   help="how long the (no-log AND no-CPU) conjunction "
+                        "must hold before a wedge is declared")
+    p.add_argument("--supervise_max_recoveries", type=int, default=8)
     return p.parse_args()
 
 
@@ -157,10 +168,17 @@ def build_config(ns: argparse.Namespace) -> Config:
 
 
 def main() -> None:
+    import sys
+    ns = parse_args()
+    if ns.supervise:
+        # the supervisor must not touch the device itself: re-exec this
+        # command line (minus the supervisor flags) as a watched child
+        from sagnn_tpu.train.supervisor import supervise_main
+        ns.save_path = build_config(ns).train.save_path  # preset-aware
+        raise SystemExit(supervise_main(ns, sys.argv))
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    ns = parse_args()
     cfg = build_config(ns)
     log("Start")
     if ns.data == "synthetic":

@@ -1,0 +1,136 @@
+"""Wedge watchdog: detection + automated recovery (SURVEY §5 "failure
+detection / elastic recovery" — the reference has none).
+
+Dummy child processes emulate the round-4 failure modes on CPU in
+seconds: a wedge (log frozen + zero CPU), a SIGTERM handler that commits
+sidecars then hangs like the d2h stall, a self-SIGSTOPped child (the
+induced drill), a crash, and the log-silent-but-CPU-busy state (eval /
+checkpoint staging) that must NOT trigger recovery.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from sagnn_tpu.train.supervisor import Supervisor, child_cpu_seconds
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+CHILD = textwrap.dedent("""
+    import os, signal, sys, time
+    ckpt = sys.argv[1]
+    mode = sys.argv[2]
+    resumed = "--load_model" in sys.argv
+    if resumed:
+        print("Model Loaded, resuming at epoch 1", flush=True)
+        sys.exit(0)
+    print("Start", flush=True)
+    if mode == "crash":
+        sys.exit(3)
+    def onterm(s, f):
+        # like Trainer's preemption handler: finalize() commits the staged
+        # sidecars host-side FIRST, then the preemption save hangs in d2h
+        with open(os.path.join(ckpt, "history.json"), "w") as fh:
+            fh.write("{}")
+        print("signal: writing preemption checkpoint", flush=True)
+        time.sleep(600)
+    signal.signal(signal.SIGTERM, onterm)
+    os.makedirs(os.path.join(ckpt, "state.tmp.orbax-checkpoint-tmp"),
+                exist_ok=True)
+    if mode == "busy":
+        t0 = time.time()
+        x = 0.0
+        while time.time() - t0 < 3.0:   # log-silent but CPU-active
+            x += 1.0
+        print("busy done", x, flush=True)
+        sys.exit(0)
+    if mode == "sigstop":
+        os.kill(os.getpid(), signal.SIGSTOP)   # the induced drill
+    time.sleep(600)                            # the wedge
+""")
+
+
+def make_sup(tmp_path, mode, **kw):
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir(exist_ok=True)
+    defaults = dict(
+        argv=[sys.executable, str(script), str(ckpt), mode],
+        log_path=str(tmp_path / "train.log"),
+        ckpt_dir=str(ckpt),
+        resume_args=["--load_model", "tem"],
+        check_every=0.2, wedge_secs=1.0, cpu_eps=0.5,
+        term_grace=15.0, commit_settle=0.3,
+        max_recoveries=3, relay_probe=None)
+    defaults.update(kw)
+    return Supervisor(**defaults), ckpt
+
+
+def test_wedge_detected_and_recovered(tmp_path):
+    sup, ckpt = make_sup(tmp_path, "wedge")
+    assert sup.run() == 0
+    assert sup.recoveries == 1
+    joined = "\n".join(sup.events)
+    assert "WEDGE" in joined
+    assert "SIGCONT+SIGTERM" in joined
+    # the partial orbax staging dir was cleaned, the commit survived
+    assert not (ckpt / "state.tmp.orbax-checkpoint-tmp").exists()
+    assert (ckpt / "history.json").exists()
+    log = (tmp_path / "train.log").read_text()
+    assert "writing preemption checkpoint" in log   # handler ran pre-KILL
+    assert "Model Loaded" in log                    # relaunch resumed
+
+
+def test_sigstopped_child_recovers_via_sigcont(tmp_path):
+    # SIGTERM alone cannot reach a SIGSTOPped process's handler; the
+    # supervisor's SIGCONT+SIGTERM pair must
+    sup, ckpt = make_sup(tmp_path, "sigstop")
+    assert sup.run() == 0
+    assert sup.recoveries == 1
+    assert "writing preemption checkpoint" in \
+        (tmp_path / "train.log").read_text()
+
+
+def test_cpu_active_silence_is_not_a_wedge(tmp_path):
+    # full-sort eval / multi-GB d2h staging are log-silent but CPU-busy;
+    # the conjunction criterion must NOT kill them
+    sup, _ = make_sup(tmp_path, "busy")
+    assert sup.run() == 0
+    assert sup.recoveries == 0
+    assert "busy done" in (tmp_path / "train.log").read_text()
+
+
+def test_crash_relaunches_with_resume(tmp_path):
+    sup, _ = make_sup(tmp_path, "crash")
+    assert sup.run() == 0
+    assert sup.recoveries == 1
+    assert "Model Loaded" in (tmp_path / "train.log").read_text()
+
+
+def test_recovery_budget_exhausts(tmp_path):
+    # resume_args that don't change behavior -> the child wedges forever
+    sup, _ = make_sup(tmp_path, "wedge", resume_args=[],
+                      max_recoveries=2)
+    assert sup.run() == 1
+    assert sup.recoveries == 3  # budget 2 + the attempt that gave up
+
+
+def test_child_cpu_seconds_self():
+    me = child_cpu_seconds(os.getpid())
+    assert me is not None and me > 0
+    assert child_cpu_seconds(2 ** 22 + 1234) is None
+
+
+def test_supervise_cli_flag_parses():
+    # --supervise must not import jax in the parent; a bad child command
+    # exhausts recoveries quickly and exits nonzero without hanging
+    r = subprocess.run(
+        [sys.executable, "main.py", "--help"], capture_output=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60)
+    assert b"--supervise" in r.stdout
