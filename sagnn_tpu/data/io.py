@@ -53,6 +53,16 @@ def _load_pickle(path: str):
         return pickle.load(fs)
 
 
+def load_tst_int(path: str) -> np.ndarray:
+    """The `tst_int` pickle as the reference consumes it
+    (DataHandler.py:96-97): a length-U object array whose entries are the
+    user's single held-out test item id (0-indexed, used directly —
+    unlike `test_dict`, whose uids/items are 1-indexed, Q8) or None for
+    users with no test interaction. Kept as dtype=object so the
+    `tst_int != None` mask (tst_usrs) works elementwise."""
+    return np.array(_load_pickle(path), dtype=object)
+
+
 def load_dataset(predir: str, noise_percent: float = 0.0) -> DatasetBundle:
     """Load one dataset directory (ref: DataHandler.LoadData, 86-133)."""
     if noise_percent > 1e-8:
@@ -60,8 +70,7 @@ def load_dataset(predir: str, noise_percent: float = 0.0) -> DatasetBundle:
     else:
         trn = _load_pickle(os.path.join(predir, "trn_mat_time"))
     full_mat, sub_mats, time_mat = trn[0], trn[1], trn[2]
-    tst_int = np.array(_load_pickle(os.path.join(predir, "tst_int")),
-                       dtype=object)
+    tst_int = load_tst_int(os.path.join(predir, "tst_int"))
     sequences = _load_pickle(os.path.join(predir, "sequence"))
     test_dict_path = os.path.join(predir, "test_dict")
     test_dict = _load_pickle(test_dict_path) if os.path.isfile(test_dict_path) else {}

@@ -48,6 +48,16 @@ def main() -> None:
                     help="use the vectorized large-graph generator with "
                          "this many total edges (required past ~50k users "
                          "/ 100k items — synthetic_dataset is O(U*I))")
+    ap.add_argument("--sustained", type=int, default=0,
+                    help="ALSO run a pipelined request stream of this many "
+                         "distinct batches (lag-1 in flight): sustained "
+                         "users/s + p50/p95 per-batch completion latency, "
+                         "and a catalog re-encode interleaved mid-stream "
+                         "(VERDICT r4 #6 — replaces single-dispatch "
+                         "extrapolations)")
+    ap.add_argument("--recalls", default="",
+                    help="comma-separated recall targets for the sustained "
+                         "stream (default: just --recall)")
     ns = ap.parse_args()
 
     import jax
@@ -137,12 +147,94 @@ def main() -> None:
     head_ms = timeit("score+topk /batch", head_chain, params, fu, fi,
                      jnp.float32(0.0), chain=CHAIN)
     qps = B / (head_ms / 1e3)
-    print(json.dumps({"encode_ms": round(enc_ms, 2),
-                      "score_topk_ms_per_batch": round(head_ms, 2),
-                      "users_per_s": round(qps),
-                      "batch": B, "k": ns.k, "items": ns.num_items,
-                      "chunk_rows": chunk, "serve_dtype": ns.serve_dtype,
-                      "backend": ns.backend}))
+    out = {"encode_ms": round(enc_ms, 2),
+           "score_topk_ms_per_batch": round(head_ms, 2),
+           "users_per_s": round(qps),
+           "batch": B, "k": ns.k, "items": ns.num_items,
+           "chunk_rows": chunk, "serve_dtype": ns.serve_dtype,
+           "backend": ns.backend}
+
+    # -- sustained pipelined stream (VERDICT r4 #6) -------------------------
+    # DISTINCT per-request batches with ONE request in flight (lag-1: fetch
+    # batch i-1's winners while batch i runs). Unlike the chained-scan
+    # number above, this includes every per-dispatch cost a live server
+    # pays, measures completion-to-completion latency percentiles over the
+    # stream, and injects a catalog re-encode mid-stream to measure the
+    # tail a refresh adds to concurrent serving. Request tensors are
+    # staged to device up front: a production host feeds the chip over
+    # PCIe, whereas staging through THIS image's HTTP relay would time the
+    # relay, not the chip.
+    if ns.sustained > 0:
+        import time as _time
+        recalls = ([float(r) for r in ns.recalls.split(",")]
+                   if ns.recalls else [ns.recall])
+        for recall in recalls:
+            def make_head_one(recall):
+                @jax.jit
+                def head_one(p, fu, fi, uids, seq, mask):
+                    if chunk > 0:
+                        q = model.serving_queries(p, fu, fi, uids, seq,
+                                                  mask)
+                        return chunked_topk(q, fi, ns.num_items, ns.k,
+                                            chunk_rows=chunk,
+                                            recall_target=recall,
+                                            score_dtype=sdt)
+                    s = model.score_all_items(p, fu, fi, uids, seq, mask)
+                    return topk_descending(s, ns.k, recall)
+                return head_one
+
+            head_one = make_head_one(recall)
+            n = ns.sustained
+            reqs = []
+            for i in range(n):
+                r = np.random.default_rng(1000 + i)
+                reqs.append((
+                    jnp.asarray(r.integers(0, ns.num_users, B, np.int32)),
+                    jnp.asarray(r.integers(1, ns.num_items, (B, L),
+                                           np.int32)),
+                    jnp.asarray((r.random((B, L)) < 0.3)
+                                .astype(np.float32))))
+            v, _ = head_one(params, fu, fi, *reqs[0])
+            float(v[0, 0])                      # compile + warm
+            enc_at = n // 2
+            enc_pending = None
+            completions = []
+            pending = None
+            t_start = _time.perf_counter()
+            for i, r in enumerate(reqs):
+                if i == enc_at:
+                    # catalog refresh dispatched WHILE serving continues
+                    enc_pending = encode(params, graphs)
+                cur = head_one(params, fu, fi, *r)
+                if pending is not None:
+                    float(pending[0][0, 0])
+                    completions.append(_time.perf_counter())
+                pending = cur
+            float(pending[0][0, 0])
+            completions.append(_time.perf_counter())
+            if enc_pending is not None:
+                jax.block_until_ready(enc_pending)
+            gaps = np.diff(np.asarray(completions)) * 1e3
+            total_s = completions[-1] - t_start
+            # the encode lands in the gap window after its dispatch; the
+            # added tail is the worst gap there vs the stream median
+            w0 = max(0, enc_at - 1)
+            enc_window = gaps[w0:w0 + 8] if len(gaps) > w0 else gaps
+            sus = {
+                "recall_target": recall,
+                "sustained_batches": n,
+                "sustained_users_per_s": round(B * len(completions)
+                                               / total_s),
+                "batch_ms_p50": round(float(np.percentile(gaps, 50)), 2),
+                "batch_ms_p95": round(float(np.percentile(gaps, 95)), 2),
+                "batch_ms_max": round(float(gaps.max()), 2),
+                "encode_overlap_added_tail_ms": round(
+                    float(enc_window.max() - np.percentile(gaps, 50)), 2),
+            }
+            print(f"sustained recall={recall}: {sus}", file=sys.stderr)
+            out.setdefault("sustained", []).append(sus)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

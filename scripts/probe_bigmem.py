@@ -141,6 +141,18 @@ def main() -> None:
         ("exactfold+chunk16k+batch2048",
          dict(batch=2048, remat_propagation=True, fusion_chunk_rows=16_384,
               spmm_fold_gather=True)),
+        # round 5: the ladder's one extrapolated rung — batch 2048 was
+        # 9.13 MB over and the slope ~6.5 MB/1024 rows put 1024 "at the
+        # margin"; measure it instead of extrapolating (VERDICT r4 #5)
+        ("exactfold+chunk16k+batch1024",
+         dict(batch=1024, remat_propagation=True, fusion_chunk_rows=16_384,
+              spmm_fold_gather=True)),
+        # chunk16k+batch1024 measured 1.92 MB over; chunk8k recovered
+        # ~3 MB at batch 4096 — if that holds, this is the first exact
+        # full-coverage one-chip recipe (1024 steps/epoch)
+        ("exactfold+chunk8k+batch1024",
+         dict(batch=1024, remat_propagation=True, fusion_chunk_rows=8_192,
+              spmm_fold_gather=True)),
     ]
     results = {}
     for name, kw in configs:
