@@ -48,6 +48,10 @@ def main() -> None:
                     help="use the vectorized large-graph generator with "
                          "this many total edges (required past ~50k users "
                          "/ 100k items — synthetic_dataset is O(U*I))")
+    ap.add_argument("--fusion_chunk_rows", type=int, default=0,
+                    help="stream the temporal fusion in node blocks (the "
+                         "encode-side memory lever; needed at ~1M users "
+                         "x 1M items)")
     ap.add_argument("--sustained", type=int, default=0,
                     help="ALSO run a pipelined request stream of this many "
                          "distinct batches (lag-1 in flight): sustained "
@@ -73,7 +77,8 @@ def main() -> None:
     cfg = Config(
         model=ModelConfig(graph_num=3, gnn_layer=2, att_layer=1, latdim=64,
                           num_heads=4, ssldim=48, pos_length=200,
-                          keep_rate=1.0, spmm_backend=ns.backend),
+                          keep_rate=1.0, spmm_backend=ns.backend,
+                          fusion_chunk_rows=ns.fusion_chunk_rows),
         train=TrainConfig(batch=ns.batch, samp_num=4, ssl_num=4,
                           trn_num=1024, test_size=20),
     )
@@ -216,10 +221,12 @@ def main() -> None:
                 jax.block_until_ready(enc_pending)
             gaps = np.diff(np.asarray(completions)) * 1e3
             total_s = completions[-1] - t_start
-            # the encode lands in the gap window after its dispatch; the
-            # added tail is the worst gap there vs the stream median
-            w0 = max(0, enc_at - 1)
-            enc_window = gaps[w0:w0 + 8] if len(gaps) > w0 else gaps
+            # the encode lands in the completion-gap window around its
+            # dispatch (exact slot depends on how the relay pipelines the
+            # two programs); the added tail is the worst gap there vs the
+            # stream median, and argmax_offset verifies the attribution
+            w0 = max(0, enc_at - 2)
+            enc_window = gaps[w0:enc_at + 10] if len(gaps) > w0 else gaps
             sus = {
                 "recall_target": recall,
                 "sustained_batches": n,
@@ -228,6 +235,8 @@ def main() -> None:
                 "batch_ms_p50": round(float(np.percentile(gaps, 50)), 2),
                 "batch_ms_p95": round(float(np.percentile(gaps, 95)), 2),
                 "batch_ms_max": round(float(gaps.max()), 2),
+                "max_gap_offset_from_encode": int(np.argmax(gaps)
+                                                  - enc_at),
                 "encode_overlap_added_tail_ms": round(
                     float(enc_window.max() - np.percentile(gaps, 50)), 2),
             }
