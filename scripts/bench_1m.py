@@ -84,9 +84,11 @@ def main() -> None:
                               latdim=64, num_heads=8, ssldim=48,
                               pos_length=200, spmm_backend="pallas",
                               **model_kw),
+            # trn_num = full coverage: decay_step (= trn_num // batch) then
+            # matches the flagship recipe exactly, so the compiled step is
+            # byte-identical to main.py's and shares its compile cache
             train=TrainConfig(batch=batch, samp_num=10, ssl_num=8,
-                              trn_num=batch * (args.steps + 1),
-                              test_size=100),
+                              trn_num=USERS, test_size=100),
             data=DataConfig(data="synthetic"),
         )
         t0 = time.perf_counter()

@@ -126,6 +126,40 @@ def test_child_cpu_seconds_self():
     assert child_cpu_seconds(2 ** 22 + 1234) is None
 
 
+def test_supervise_main_strips_supervisor_flags(tmp_path, monkeypatch):
+    # the child command must not re-enter supervisor mode or keep the
+    # supervisor-only flags; resume args come from save_path/ckpt_root
+    import sagnn_tpu.train.supervisor as sup_mod
+
+    captured = {}
+
+    class FakeSup:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+        def run(self):
+            return 0
+
+    monkeypatch.setattr(sup_mod, "Supervisor", FakeSup)
+
+    class NS:
+        ckpt_root = str(tmp_path)
+        save_path = "m1"
+        supervise_wedge_secs = 123.0
+        supervise_max_recoveries = 4
+
+    raw = ["main.py", "--supervise", "--supervise_wedge_secs", "123",
+           "--data", "synthetic", "--supervise_max_recoveries", "4",
+           "--epoch", "9"]
+    assert sup_mod.supervise_main(NS(), raw) == 0
+    assert captured["argv"] == [sys.executable, "main.py", "--data",
+                                "synthetic", "--epoch", "9"]
+    assert captured["resume_args"] == ["--load_model", "m1"]
+    assert captured["wedge_secs"] == 123.0
+    assert captured["max_recoveries"] == 4
+    assert captured["ckpt_dir"] == os.path.join(str(tmp_path), "m1")
+
+
 def test_supervise_cli_flag_parses():
     # --supervise must not import jax in the parent; a bad child command
     # exhausts recoveries quickly and exits nonzero without hanging
