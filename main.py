@@ -131,6 +131,12 @@ def parse_args() -> argparse.Namespace:
                    help="large-scale generator only: number of held-out "
                         "test users (wider = less noisy full-sort metrics "
                         "at 1M scale; eval cost scales linearly)")
+    p.add_argument("--time_budget_h", type=float,
+                   help="stop cleanly at an epoch boundary when the next "
+                        "epoch (predicted from the measured mean) would "
+                        "exceed this wall-clock budget; checkpoints "
+                        "finalize and the max line prints (resume with "
+                        "--load_model is trajectory-exact)")
     p.add_argument("--supervise", action="store_true",
                    help="run under the wedge watchdog "
                         "(train/supervisor.py): auto-detect a hung run "

@@ -144,6 +144,15 @@ class TrainConfig:
     seed: int = 100             # main.py:21-23
     save_path: str = "tem"      # Params.py:12
     load_model: Optional[str] = None
+    time_budget_h: float = 0.0  # >0: stop cleanly at an epoch boundary
+                                # when the NEXT epoch (predicted from the
+                                # measured mean epoch time) would exceed
+                                # this wall-clock budget — the run
+                                # finalizes checkpoints and prints the max
+                                # line instead of being killed mid-epoch
+                                # (preemptible-quota surface; resume with
+                                # --load_model is trajectory-exact). No
+                                # reference analog.
 
     @property
     def decay_step(self) -> int:

@@ -751,9 +751,27 @@ class Trainer:
 
     def _epoch_loop(self, st_epoch: int, max_ndcg: float = 0.0,
                     max_res: Optional[Dict] = None, max_epoch: int = 0):
+        import time as _time
         cfg = self.cfg
         max_res = max_res or {}
+        t_loop = _time.monotonic()
+        epoch_times: list = []
         for ep in range(st_epoch, cfg.train.epoch):
+            # --time_budget_h: stop at the epoch BOUNDARY once the next
+            # epoch (predicted from the measured mean) would overrun the
+            # budget — a clean finalize-and-exit instead of a mid-epoch
+            # kill on preemptible quotas
+            if cfg.train.time_budget_h > 0 and epoch_times:
+                spent = _time.monotonic() - t_loop
+                predicted = spent + float(np.mean(epoch_times))
+                if predicted > cfg.train.time_budget_h * 3600.0:
+                    log(f"time budget: {spent / 3600.0:.2f}h spent, next "
+                        f"epoch predicted to end at "
+                        f"{predicted / 3600.0:.2f}h > budget "
+                        f"{cfg.train.time_budget_h}h — stopping cleanly "
+                        f"at epoch {ep}")
+                    break
+            t_ep = _time.monotonic()
             test = (ep % cfg.train.tst_epoch == 0)
             # for the preemption handler: the RNG state this epoch STARTED
             # with (see install_preemption_handler)
@@ -800,4 +818,5 @@ class Trainer:
                                    block=False,
                                    rng_state=self.capture_rng_state(ep + 1))
                     max_ndcg, max_res, max_epoch = te["NDCG"], te, ep
+            epoch_times.append(_time.monotonic() - t_ep)
         return max_ndcg, max_res, max_epoch

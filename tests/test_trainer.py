@@ -309,3 +309,27 @@ def test_seed_reproducibility(tmp_path):
     for l1, l2 in zip(jax.tree_util.tree_leaves(p1),
                       jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_time_budget_stops_at_epoch_boundary(bundle, tmp_path_factory):
+    """--time_budget_h: with a budget any second epoch would overrun, the
+    run stops cleanly after epoch 0 — history has exactly one Train entry
+    and run() still returns (finalize + max line path)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, train=dataclasses.replace(CFG.train, epoch=50,
+                                       time_budget_h=1e-9))
+    tr = Trainer(cfg, bundle,
+                 ckpt_root=str(tmp_path_factory.mktemp("ck_budget")),
+                 pad_multiple=64)
+    out = tr.run()
+    assert len(tr.history.data["TrainLoss"]) == 1
+    assert "HR" in out and "NDCG" in out
+
+
+def test_no_time_budget_runs_all_epochs(bundle, tmp_path_factory):
+    tr = Trainer(CFG, bundle,
+                 ckpt_root=str(tmp_path_factory.mktemp("ck_nobudget")),
+                 pad_multiple=64)
+    tr.run()
+    assert len(tr.history.data["TrainLoss"]) == CFG.train.epoch
