@@ -103,6 +103,14 @@ class Supervisor:
     cpu_eps: float = 2.0
     term_grace: float = 300.0
     commit_settle: float = 15.0
+    # Before the child's FIRST log output after a (re)launch, require this
+    # much quiet instead of wedge_secs (whichever is larger): a freshly
+    # exec'd interpreter can be starved to zero CPU on a loaded box before
+    # it even installs its SIGTERM handler, and declaring a wedge there
+    # SIGTERMs a child whose disposition is still the default (instant
+    # death, no preemption save). Production children log within seconds;
+    # the cap still catches a child that hangs before its first line.
+    startup_grace: float = 60.0
     max_recoveries: int = 8
     relay_probe: Optional[Sequence[str]] = (
         sys.executable, "-c",
@@ -171,6 +179,8 @@ class Supervisor:
         self._say(f"sent SIGCONT+SIGTERM to pid {child.pid}; waiting up to "
                   f"{self.term_grace:.0f}s for the preemption handler")
         committed_at = None
+        size_at_term = self._log_size()
+        polls = 0
         while time.time() - t_term < self.term_grace:
             if child.poll() is not None:
                 self._say(f"child exited rc={child.returncode} after SIGTERM")
@@ -185,6 +195,29 @@ class Supervisor:
                               "waiting out the preemption save")
                     break
             time.sleep(1.0)
+            # Re-CONT every poll: if SIGTERM lands exactly as a stopped
+            # child resumes, the kernel sets the interpreter's pending-
+            # signal flag but the in-flight opcode (e.g. the drill's own
+            # os.kill(SIGSTOP)) re-stops the process before any bytecode
+            # boundary — the Python-level handler then never runs and the
+            # child sits in T state through the whole grace. A periodic
+            # SIGCONT (ignored by a running child) unsticks it within 1 s.
+            polls += 1
+            try:
+                os.kill(child.pid, signal.SIGCONT)
+                # If the handler shows NO sign of life (no log output, no
+                # sidecar commit), the first SIGTERM may have been consumed
+                # around a stop/resume transition without ever reaching the
+                # Python-level handler (observed ~1/40 on a loaded box).
+                # Re-send it occasionally. Never re-TERM a handler that IS
+                # alive — the trainer's handler logs immediately, and a
+                # second delivery would re-enter its checkpoint save.
+                if (polls % 5 == 0 and committed_at is None
+                        and self._log_size() == size_at_term):
+                    os.kill(child.pid, signal.SIGTERM)
+                    self._say("re-sent SIGTERM (handler silent)")
+            except ProcessLookupError:
+                pass
         try:
             os.kill(child.pid, signal.SIGKILL)
             self._say(f"SIGKILL pid {child.pid}")
@@ -229,6 +262,7 @@ class Supervisor:
         last_cpu = child_cpu_seconds(child.pid) or 0.0
         quiet_since: Optional[float] = None
         cpu_at_quiet = last_cpu
+        armed = False  # becomes True at the child's first log output
         while True:
             time.sleep(self.check_every)
             rc = child.poll()
@@ -243,6 +277,7 @@ class Supervisor:
                 last_size = self._log_size()
                 last_cpu = child_cpu_seconds(child.pid) or 0.0
                 quiet_since, cpu_at_quiet = None, last_cpu
+                armed = False
                 continue
             size = self._log_size()
             cpu = child_cpu_seconds(child.pid)
@@ -250,12 +285,15 @@ class Supervisor:
             progressed = size != last_size
             if progressed:
                 quiet_since = None
+                armed = True
             elif quiet_since is None:
                 quiet_since, cpu_at_quiet = time.time(), cpu
             elif cpu - cpu_at_quiet > self.cpu_eps:
                 # log-silent but CPU-active (eval, d2h staging): not a wedge
                 quiet_since, cpu_at_quiet = time.time(), cpu
-            elif time.time() - quiet_since >= self.wedge_secs:
+            elif time.time() - quiet_since >= (
+                    self.wedge_secs if armed
+                    else max(self.wedge_secs, self.startup_grace)):
                 self._say(
                     f"WEDGE: no log output and {cpu - cpu_at_quiet:.2f}s "
                     f"CPU over {time.time() - quiet_since:.0f}s "
@@ -266,6 +304,7 @@ class Supervisor:
                 last_size = self._log_size()
                 last_cpu = child_cpu_seconds(child.pid) or 0.0
                 quiet_since, cpu_at_quiet = None, last_cpu
+                armed = False
                 continue
             last_size, last_cpu = size, cpu
 

@@ -28,8 +28,8 @@ CHILD = textwrap.dedent("""
     if resumed:
         print("Model Loaded, resuming at epoch 1", flush=True)
         sys.exit(0)
-    print("Start", flush=True)
     if mode == "crash":
+        print("Start", flush=True)
         sys.exit(3)
     def onterm(s, f):
         # like Trainer's preemption handler: finalize() commits the staged
@@ -41,6 +41,13 @@ CHILD = textwrap.dedent("""
     signal.signal(signal.SIGTERM, onterm)
     os.makedirs(os.path.join(ckpt, "state.tmp.orbax-checkpoint-tmp"),
                 exist_ok=True)
+    # first output AFTER the handler exists: the supervisor arms wedge
+    # detection on first output, so with the 1s test window a wedge can
+    # never SIGTERM this child while its disposition is still the default.
+    # (The real Trainer logs Start/Load Data/Model Prepared before its
+    # handler installs, but those phases log and burn CPU constantly and
+    # the production window is 600s — the conjunction covers it.)
+    print("Start", flush=True)
     if mode == "busy":
         t0 = time.time()
         x = 0.0
@@ -118,6 +125,29 @@ def test_recovery_budget_exhausts(tmp_path):
                       max_recoveries=2)
     assert sup.run() == 1
     assert sup.recoveries == 3  # budget 2 + the attempt that gave up
+
+
+def test_startup_grace_defers_wedge_until_first_output(tmp_path):
+    # a child that has not yet produced ANY output is in startup (possibly
+    # starved before its SIGTERM handler exists): the wedge window must be
+    # max(wedge_secs, startup_grace) there, and plain wedge_secs only after
+    # the first log line arms detection
+    script = tmp_path / "child.py"
+    # never logs, never burns CPU: pre-output wedge path
+    script.write_text("import time\ntime.sleep(600)\n")
+    sup = Supervisor(
+        argv=[sys.executable, str(script)],
+        log_path=str(tmp_path / "train.log"),
+        resume_args=[], check_every=0.2, wedge_secs=0.5, cpu_eps=0.5,
+        startup_grace=3.0, term_grace=2.0, max_recoveries=1,
+        relay_probe=None)
+    import time as _t
+    t0 = _t.time()
+    assert sup.run() == 1  # wedges forever; budget 1 exhausts
+    first_wedge = next(e for e in sup.events if "WEDGE" in e)
+    # the first wedge must not have been declared before startup_grace
+    assert _t.time() - t0 >= 3.0
+    assert "WEDGE" in first_wedge
 
 
 def test_child_cpu_seconds_self():
