@@ -111,6 +111,15 @@ class Supervisor:
     # death, no preemption save). Production children log within seconds;
     # the cap still catches a child that hangs before its first line.
     startup_grace: float = 60.0
+    # Hard backstop on log SILENCE alone: a permanent wedge whose zombie
+    # threads trickle MORE than cpu_eps per window (the 131k-run stall
+    # measured ~2.4 s/300 s from the relay client retrying) would reset
+    # the quiet window forever and never meet the conjunction. Once
+    # detection is armed, this much log silence declares a wedge
+    # REGARDLESS of CPU — nothing legitimate is log-silent this long
+    # (longest observed: multi-GB d2h staging, minutes). None = 6x
+    # wedge_secs; <=0 disables.
+    silent_cap_secs: Optional[float] = None
     max_recoveries: int = 8
     relay_probe: Optional[Sequence[str]] = (
         sys.executable, "-c",
@@ -257,10 +266,13 @@ class Supervisor:
     def run(self) -> int:
         """Supervise until the child exits 0 (returns 0), recoveries are
         exhausted, or the relay probe never comes back (returns 1)."""
+        silent_cap = (6.0 * self.wedge_secs if self.silent_cap_secs is None
+                      else self.silent_cap_secs)
         child = self._spawn(resume=False)
         last_size = self._log_size()
         last_cpu = child_cpu_seconds(child.pid) or 0.0
         quiet_since: Optional[float] = None
+        silent_since: Optional[float] = None  # resets ONLY on log growth
         cpu_at_quiet = last_cpu
         armed = False  # becomes True at the child's first log output
         while True:
@@ -277,33 +289,50 @@ class Supervisor:
                 last_size = self._log_size()
                 last_cpu = child_cpu_seconds(child.pid) or 0.0
                 quiet_since, cpu_at_quiet = None, last_cpu
+                silent_since = None
                 armed = False
                 continue
             size = self._log_size()
             cpu = child_cpu_seconds(child.pid)
             cpu = last_cpu if cpu is None else cpu
             progressed = size != last_size
+            wedged = None
             if progressed:
                 quiet_since = None
+                silent_since = None
                 armed = True
-            elif quiet_since is None:
-                quiet_since, cpu_at_quiet = time.time(), cpu
-            elif cpu - cpu_at_quiet > self.cpu_eps:
-                # log-silent but CPU-active (eval, d2h staging): not a wedge
-                quiet_since, cpu_at_quiet = time.time(), cpu
-            elif time.time() - quiet_since >= (
-                    self.wedge_secs if armed
-                    else max(self.wedge_secs, self.startup_grace)):
-                self._say(
-                    f"WEDGE: no log output and {cpu - cpu_at_quiet:.2f}s "
-                    f"CPU over {time.time() - quiet_since:.0f}s "
-                    f"(pid {child.pid})")
+            else:
+                if silent_since is None:
+                    silent_since = time.time()
+                if quiet_since is None:
+                    quiet_since, cpu_at_quiet = time.time(), cpu
+                elif cpu - cpu_at_quiet > self.cpu_eps:
+                    # log-silent but CPU-active (eval, d2h staging): not
+                    # a wedge — unless the silence hard-cap below trips
+                    quiet_since, cpu_at_quiet = time.time(), cpu
+                elif time.time() - quiet_since >= (
+                        self.wedge_secs if armed
+                        else max(self.wedge_secs, self.startup_grace)):
+                    wedged = (
+                        f"WEDGE: no log output and "
+                        f"{cpu - cpu_at_quiet:.2f}s CPU over "
+                        f"{time.time() - quiet_since:.0f}s "
+                        f"(pid {child.pid})")
+                if (wedged is None and armed and silent_cap > 0
+                        and time.time() - silent_since >= silent_cap):
+                    wedged = (
+                        f"WEDGE: log silent {time.time() - silent_since:.0f}s"
+                        f" >= silent_cap {silent_cap:.0f}s despite CPU "
+                        f"activity (pid {child.pid})")
+            if wedged is not None:
+                self._say(wedged)
                 if not self._recover(child, crashed=False):
                     return 1
                 child = self._spawn(resume=True)
                 last_size = self._log_size()
                 last_cpu = child_cpu_seconds(child.pid) or 0.0
                 quiet_since, cpu_at_quiet = None, last_cpu
+                silent_since = None
                 armed = False
                 continue
             last_size, last_cpu = size, cpu

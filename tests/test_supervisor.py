@@ -112,6 +112,39 @@ def test_cpu_active_silence_is_not_a_wedge(tmp_path):
     assert "busy done" in (tmp_path / "train.log").read_text()
 
 
+def test_silent_cap_trips_despite_cpu_activity(tmp_path):
+    # A permanent wedge whose zombie threads trickle MORE than cpu_eps
+    # per window resets the conjunction's quiet window forever (the 131k
+    # run's stall measured ~2.4s/300s of relay-client retrying; a
+    # permanent wedge with the same trickle would never be detected).
+    # Once armed, silent_cap_secs of log silence alone must declare the
+    # wedge regardless of CPU.
+    script = tmp_path / "child.py"
+    script.write_text(textwrap.dedent("""
+        import sys, time
+        if "--load_model" in sys.argv:
+            print("Model Loaded, resuming at epoch 1", flush=True)
+            sys.exit(0)
+        print("Start", flush=True)        # arms detection
+        t0 = time.time()
+        x = 0.0
+        while time.time() - t0 < 600:     # log-silent, CPU-BUSY forever
+            x += 1.0
+    """))
+    sup = Supervisor(
+        argv=[sys.executable, str(script)],
+        log_path=str(tmp_path / "train.log"),
+        resume_args=["--load_model", "tem"],
+        check_every=0.2, wedge_secs=0.5, cpu_eps=0.1,
+        silent_cap_secs=2.0, term_grace=2.0, max_recoveries=2,
+        relay_probe=None)
+    assert sup.run() == 0
+    assert sup.recoveries == 1
+    wedge = next(e for e in sup.events if "WEDGE" in e)
+    assert "silent_cap" in wedge
+    assert "Model Loaded" in (tmp_path / "train.log").read_text()
+
+
 def test_crash_relaunches_with_resume(tmp_path):
     sup, _ = make_sup(tmp_path, "crash")
     assert sup.run() == 0
