@@ -342,6 +342,10 @@ class Supervisor:
         if self.max_recoveries and self.recoveries > self.max_recoveries:
             self._say(f"recovery budget exhausted "
                       f"({self.max_recoveries}); giving up")
+            # don't leave the wedged child holding the device/relay: give
+            # its handler one last chance to commit, then make sure it dies
+            if child.poll() is None:
+                self._terminate(child)
             return False
         self._say(f"recovery {self.recoveries} begins "
                   f"({'crash' if crashed else 'wedge'})")

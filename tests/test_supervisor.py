@@ -158,6 +158,11 @@ def test_recovery_budget_exhausts(tmp_path):
                       max_recoveries=2)
     assert sup.run() == 1
     assert sup.recoveries == 3  # budget 2 + the attempt that gave up
+    # giving up must not orphan the wedged child (it would keep holding
+    # the device/relay); the supervisor terminates it on the way out
+    out = subprocess.run(["ps", "-eo", "args"], capture_output=True,
+                         text=True).stdout
+    assert str(tmp_path / "child.py") not in out
 
 
 def test_startup_grace_defers_wedge_until_first_output(tmp_path):
